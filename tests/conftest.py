@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on `xla_force_host_platform_device_count=8`
+CPU devices (the driver separately dry-runs the multichip path); the real-TPU
+bench path is exercised by bench.py, not pytest.
+
+Note: the environment's sitecustomize registers the axon TPU plugin and
+forces JAX_PLATFORMS=axon, so we must override via jax.config *after* import
+(env vars alone are ignored once register() has run).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

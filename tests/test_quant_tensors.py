@@ -1,0 +1,110 @@
+"""Unit tests for quantization scale math, packing, and quantized matmuls.
+
+Mirrors the reference's quantization test tier (tests/quantization/):
+test_smooth_quant_gemm.py / test_weight_only_quant_matmul.py semantics
+against fp references.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trtllm_llama_tpu.ops.linear import dense
+from trtllm_llama_tpu.quantization.tensors import (
+    SQWeight, WOQWeight, pack_int4, quantize_int8, absmax_scale,
+    quantize_per_token, quantize_smoothquant_weight, quantize_weight_only,
+    unpack_int4,
+)
+
+
+def test_int4_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, (6, 64, 128)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.shape == (6, 32, 128)
+    out = unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(out), q)
+
+
+def test_int8_quant_roundtrip_error():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    scale = absmax_scale(jnp.asarray(x))
+    q = quantize_int8(jnp.asarray(x), scale)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(scale) - x)
+    assert err.max() <= np.asarray(scale) * 0.5 + 1e-6
+
+
+@pytest.mark.parametrize("w_bits,group_size", [(8, 0), (4, 0), (4, 64), (8, 64)])
+def test_weight_only_dense_matches_dequant(w_bits, group_size):
+    rng = np.random.default_rng(2)
+    k, n, m = 128, 256, 8
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    woq = quantize_weight_only(jnp.asarray(w), w_bits, group_size)
+    y = dense(jnp.asarray(x), woq)
+    y_ref = x @ np.asarray(woq.dequantize())
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("w_bits", [8, 4])
+def test_weight_only_quant_error_small(w_bits):
+    """Quantize->dense must stay close to the fp matmul (accuracy contract)."""
+    rng = np.random.default_rng(3)
+    k, n, m = 256, 128, 4
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    woq = quantize_weight_only(jnp.asarray(w), w_bits,
+                               group_size=64 if w_bits == 4 else 0)
+    y = np.asarray(dense(jnp.asarray(x), woq))
+    y_ref = x @ w
+    rel = np.abs(y - y_ref).mean() / np.abs(y_ref).mean()
+    assert rel < (0.15 if w_bits == 4 else 0.01), rel
+
+
+def test_stacked_weight_only():
+    """Stacked [L, K, N] weights (scan layout) quantize and apply per-layer."""
+    rng = np.random.default_rng(4)
+    l, k, n = 3, 64, 128
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    woq = quantize_weight_only(jnp.asarray(w), 8, 0)
+    assert woq.qweight.shape == (l, k, n) and woq.scale.shape == (l, n)
+    # per-layer slice must equal independently quantized layer
+    woq0 = quantize_weight_only(jnp.asarray(w[0]), 8, 0)
+    np.testing.assert_array_equal(np.asarray(woq.qweight[0]),
+                                  np.asarray(woq0.qweight))
+
+
+def test_per_token_quantization():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 7, 128)).astype(np.float32)
+    q, s = quantize_per_token(jnp.asarray(x))
+    assert q.shape == x.shape and s.shape == (4, 7, 1)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    np.testing.assert_allclose(deq, x, atol=np.asarray(s).max() * 0.51)
+
+
+@pytest.mark.parametrize("per_channel,per_token", [(True, True), (True, False),
+                                                   (False, True)])
+def test_smoothquant_dense(per_channel, per_token):
+    rng = np.random.default_rng(6)
+    k, n, m = 128, 256, 16
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    act_amax = np.abs(x).max()
+    sq = quantize_smoothquant_weight(jnp.asarray(w), act_amax,
+                                     per_channel=per_channel,
+                                     per_token=per_token)
+    y = np.asarray(dense(jnp.asarray(x), sq))
+    y_ref = x @ w
+    rel = np.abs(y - y_ref).mean() / np.abs(y_ref).mean()
+    assert rel < 0.03, rel
+
+
+def test_woq_weight_is_pytree():
+    woq = quantize_weight_only(jnp.ones((8, 16)), 4, 0)
+    leaves = jax.tree.leaves(woq)
+    assert len(leaves) == 2
+    mapped = jax.tree.map(lambda x: x, woq)
+    assert isinstance(mapped, WOQWeight) and mapped.w_bits == 4

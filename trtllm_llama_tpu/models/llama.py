@@ -1,0 +1,176 @@
+"""LLaMA-family model, TPU-native.
+
+Functional equivalent of the reference's LLaMAForCausalLM
+(models/llama/model.py:14-254): RMSNorm -> Attention(RoPE, causal, no bias)
+-> RMSNorm -> GatedMLP (SwiGLU), final RMSNorm + lm_head. Architectural
+differences are deliberate TPU choices, not omissions:
+
+- No graph DSL / Module tree: params are a pytree of (possibly quantized)
+  weights; `jax.jit` is the graph builder, XLA the engine builder.
+- Layers are *stacked* along a leading L axis and iterated with `lax.scan`,
+  so the whole 32-layer model traces as one loop body — O(1) compile time
+  and XLA-friendly control flow.
+- Quantization is carried in the weight *types* (WOQWeight / SQWeight from
+  quantization.tensors); `ops.linear.dense` dispatches. This replaces the
+  reference's module-swap transforms (models/quantized/quant.py) — swapping
+  is done once by `quantize_params`.
+- KV cache is explicit state threaded through the step functions (stacked
+  [L, B, H_kv, S_max, D]), donated by the runtime for in-place updates.
+
+GQA is supported (num_kv_heads < num_heads) even though LLaMA-1 doesn't use
+it — it falls out of the attention op for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attention import (
+    KVCache, decode_attention, make_kv_cache, prefill_attention,
+    write_kv_decode, write_kv_prefill,
+)
+from ..ops.linear import dense, embedding_lookup
+from ..ops.norm import rms_norm
+from ..ops.rope import apply_rope, rope_table, take_rope
+
+# Layer param keys (each stacked [L, ...]):
+#   attn_norm, wq, wk, wv, wo, mlp_norm, w_gate, w_up, w_down
+# Global params: embed [V, D], final_norm [D], lm_head [D, V]
+Params = dict
+
+
+def init_params(cfg: ModelConfig, key, dtype=None) -> Params:
+    """Random-init params (for tests; real weights come from the converter)."""
+    dtype = dtype or cfg.jnp_dtype
+    d, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 10)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dtype)
+
+    return {
+        "embed": w(keys[0], (cfg.vocab_size, d), d),
+        "layers": {
+            "attn_norm": jnp.ones((l, d), dtype),
+            "wq": w(keys[1], (l, d, nq * hd), d),
+            "wk": w(keys[2], (l, d, nkv * hd), d),
+            "wv": w(keys[3], (l, d, nkv * hd), d),
+            "wo": w(keys[4], (l, nq * hd, d), d),
+            "mlp_norm": jnp.ones((l, d), dtype),
+            "w_gate": w(keys[5], (l, d, f), d),
+            "w_up": w(keys[6], (l, d, f), d),
+            "w_down": w(keys[7], (l, f, d), f),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": w(keys[8], (d, cfg.vocab_size), d),
+    }
+
+
+def init_caches(cfg: ModelConfig, batch: int, max_len: int,
+                kv_scales=None) -> KVCache:
+    """Stacked KV cache [L, B, H_kv, S_max, D] (k and v).
+
+    kv_scales: optional [L] calibrated int8-KV scales (converter output).
+    """
+    kv_dtype = jnp.int8 if cfg.quant_mode.has_int8_kv_cache() else cfg.jnp_dtype
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if kv_scales is None:
+        kv_scales = jnp.ones((cfg.num_layers,), jnp.float32)
+    return KVCache(jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype),
+                   jnp.asarray(kv_scales, jnp.float32))
+
+
+def _split_heads(x, n_heads, head_dim):
+    return x.reshape(*x.shape[:-1], n_heads, head_dim)
+
+
+def _attn_block(cfg: ModelConfig, lp, x, cos, sin, cache: KVCache,
+                seq_lens, decode: bool):
+    """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode)."""
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    q = _split_heads(dense(h, lp["wq"]), cfg.num_heads, cfg.head_dim)
+    k = _split_heads(dense(h, lp["wk"]), cfg.num_kv_heads, cfg.head_dim)
+    v = _split_heads(dense(h, lp["wv"]), cfg.num_kv_heads, cfg.head_dim)
+    if decode:
+        # q,k,v: [B, H, D]; cos/sin: [B, 1, d] broadcast over heads
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = write_kv_decode(cache, k, v, seq_lens)
+        attn = decode_attention(q, cache, seq_lens + 1)
+    else:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = write_kv_prefill(cache, k, v)
+        attn = prefill_attention(q, k, v, seq_lens)
+    attn = attn.reshape(*attn.shape[:-2], cfg.num_heads * cfg.head_dim)
+    return x + dense(attn, lp["wo"]), cache
+
+
+def _mlp_block(cfg: ModelConfig, lp, x):
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
+    g = dense(h, lp["w_gate"])
+    u = dense(h, lp["w_up"])
+    return x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                     lp["w_down"])
+
+
+def _run_layers(cfg: ModelConfig, params: Params, x, cos, sin, caches,
+                seq_lens, decode: bool):
+    def body(carry, xs):
+        lp, cache = xs
+        h, new_cache = _attn_block(cfg, lp, carry, cos, sin, cache,
+                                   seq_lens, decode)
+        h = _mlp_block(cfg, lp, h)
+        return h, new_cache
+
+    x, new_caches = jax.lax.scan(body, x, (params["layers"], caches))
+    return x, new_caches
+
+
+def forward_prefill(params: Params, cfg: ModelConfig, input_ids, seq_lens,
+                    caches: KVCache, return_all_logits: bool = False):
+    """Context phase. input_ids: [B, S] left-aligned (pad right), seq_lens [B].
+
+    Returns (logits, caches): logits [B, V] at each sequence's last position
+    (reference gather_last_token_logits, functional.py:3316), or [B, S, V]
+    when return_all_logits (used by golden tests / scoring).
+    """
+    b, s = input_ids.shape
+    x = embedding_lookup(params["embed"], input_ids, cfg.jnp_dtype)
+    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
+                              cfg.rope_theta)
+    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    cos, sin = take_rope(cos_t, sin_t, positions)        # [B,S,1,d]
+    x, caches = _run_layers(cfg, params, x, cos, sin, caches, seq_lens, False)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if return_all_logits:
+        logits = dense(x, params["lm_head"], jnp.float32)
+        return logits, caches
+    last = jnp.take_along_axis(
+        x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = dense(last, params["lm_head"], jnp.float32)
+    return logits, caches
+
+
+def forward_decode(params: Params, cfg: ModelConfig, tokens, positions,
+                   caches: KVCache):
+    """Generation phase, one token per sequence.
+
+    tokens: [B] int32; positions: [B] write position (== current length).
+    Returns (logits [B, V], caches).
+    """
+    x = embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)   # [B, D]
+    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
+                              cfg.rope_theta)
+    cos, sin = take_rope(cos_t, sin_t, positions)                  # [B,1,d]
+    x, caches = _run_layers(cfg, params, x, cos, sin, caches, positions, True)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = dense(x, params["lm_head"], jnp.float32)
+    return logits, caches

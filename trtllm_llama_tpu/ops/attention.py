@@ -1,0 +1,139 @@
+"""Attention ops: prefill (context) and decode (generation) phases.
+
+TPU-native replacement for the reference's gptAttentionPlugin stack:
+- context phase: FMHA cubins / BMM+masked-softmax (gptAttentionCommon.cpp:500-575)
+- generation phase: fused masked-MHA kernel with inline INT8 KV dequant
+  (decoderMaskedMultiheadAttentionTemplate.h:1336-1650)
+- KV-cache write with INT8 quantization (invokeTranspose4dBatchMajor,
+  gptAttentionCommon.cpp:488-494)
+
+This module holds the jnp reference implementations (used on CPU, in tests,
+and as the autodiff-able fallback); `ops/pallas/attention.py` provides the
+fused TPU kernels that replace them on the hot path. Softmax accumulates in
+fp32 as the reference does (layers/attention.py:331-343).
+
+KV cache layout: [B, H_kv, S_max, D] per layer (stacked [L, ...] in the
+model), chosen so the decode kernel's KV reads are contiguous (S, D) tiles.
+INT8 KV mode stores int8 values plus one static calibrated scale per layer
+(reference int8_kv_cache per-tensor scaling, gptAttentionCommon enqueue).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # mask value; fp32 softmax makes this safe
+
+
+class KVCache(NamedTuple):
+    """Single-layer KV cache. k/v: [B, H_kv, S_max, D] (int8 or compute dtype).
+
+    scale: f32 scalar — static dequant scale when dtype is int8, 1.0 otherwise.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def make_kv_cache(batch: int, n_kv: int, max_len: int, head_dim: int,
+                  dtype=jnp.bfloat16, kv_scale: Optional[jnp.ndarray] = None
+                  ) -> KVCache:
+    shape = (batch, n_kv, max_len, head_dim)
+    scale = jnp.asarray(kv_scale if kv_scale is not None else 1.0, jnp.float32)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), scale)
+
+
+def _quant_kv(x, cache: KVCache):
+    if cache.k.dtype == jnp.int8:
+        q = jnp.round(x.astype(jnp.float32) / cache.scale)
+        return jnp.clip(q, -127, 127).astype(jnp.int8)
+    return x.astype(cache.k.dtype)
+
+
+def _dequant_kv(x, cache: KVCache, dtype):
+    if cache.k.dtype == jnp.int8:
+        return (x.astype(jnp.float32) * cache.scale).astype(dtype)
+    return x.astype(dtype)
+
+
+def write_kv_prefill(cache: KVCache, k, v) -> KVCache:
+    """Write [B, S, H_kv, D] k/v at positions [0, S) (context phase)."""
+    k = jnp.swapaxes(k, 1, 2)       # -> [B, H, S, D]
+    v = jnp.swapaxes(v, 1, 2)
+    s = k.shape[2]
+    kc = jax.lax.dynamic_update_slice(cache.k, _quant_kv(k, cache), (0, 0, 0, 0))
+    vc = jax.lax.dynamic_update_slice(cache.v, _quant_kv(v, cache), (0, 0, 0, 0))
+    del s
+    return KVCache(kc, vc, cache.scale)
+
+
+def write_kv_decode(cache: KVCache, k, v, positions) -> KVCache:
+    """Write one token per sequence: k/v [B, H_kv, D] at positions [B]."""
+    b = k.shape[0]
+    bidx = jnp.arange(b)
+    kc = cache.k.at[bidx, :, positions, :].set(_quant_kv(k, cache))
+    vc = cache.v.at[bidx, :, positions, :].set(_quant_kv(v, cache))
+    return KVCache(kc, vc, cache.scale)
+
+
+def _gqa_repeat(x, n_rep: int):
+    """[B, H_kv, ...] -> [B, H_kv * n_rep, ...] by head repetition."""
+    if n_rep == 1:
+        return x
+    b, h = x.shape[:2]
+    x = jnp.broadcast_to(x[:, :, None], (b, h, n_rep) + x.shape[2:])
+    return x.reshape(b, h * n_rep, *x.shape[3:])
+
+
+def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None):
+    """Causal self-attention over a full prompt.
+
+    q: [B, S, H_q, D]; k, v: [B, S, H_kv, D]; seq_lens: optional [B] true
+    lengths (positions >= len are masked out as keys). Returns [B, S, H_q, D].
+    """
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    qt = jnp.swapaxes(q, 1, 2)                                   # [B,Hq,S,D]
+    kt = _gqa_repeat(jnp.swapaxes(k, 1, 2), hq // hkv)           # [B,Hq,S,D]
+    vt = _gqa_repeat(jnp.swapaxes(v, 1, 2), hq // hkv)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    rows = jnp.arange(s)[:, None]
+    cols = jnp.arange(s)[None, :]
+    mask = cols <= rows                                          # causal
+    if seq_lens is not None:
+        mask = mask & (cols[None] < seq_lens[:, None, None])
+        mask = mask[:, None]                                     # [B,1,S,S]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), vt,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return jnp.swapaxes(out, 1, 2)                               # [B,S,Hq,D]
+
+
+def decode_attention(q, cache: KVCache, cache_lens, scale: Optional[float] = None):
+    """Single-token attention against the KV cache.
+
+    q: [B, H_q, D]; cache_lens: [B] number of valid cache positions (the new
+    token's K/V must already be written, so valid = positions < cache_lens).
+    Returns [B, H_q, D].
+    """
+    b, hq, d = q.shape
+    hkv = cache.k.shape[1]
+    s_max = cache.k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    kt = _gqa_repeat(_dequant_kv(cache.k, cache, q.dtype), hq // hkv)
+    vt = _gqa_repeat(_dequant_kv(cache.v, cache, q.dtype), hq // hkv)
+    logits = jnp.einsum("bhd,bhkd->bhk", q, kt,
+                        preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(s_max)[None, :] < cache_lens[:, None]      # [B, S]
+    logits = jnp.where(mask[:, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhk,bhkd->bhd", probs.astype(q.dtype), vt,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

@@ -1,0 +1,97 @@
+"""Linear/matmul ops with quantized-weight dispatch.
+
+TPU-native replacement for the reference's GEMM plugin zoo
+(gemmPlugin, weightOnlyQuantMatmulPlugin, smoothQuantGemmPlugin): one
+`dense()` entry point that dispatches on the weight container type.
+
+Numeric strategy per mode:
+- fp16/bf16: plain `jnp.dot` — XLA tiles it onto the MXU (the reference's
+  gemmPlugin exists only because TRT's matmul tactic selection was unstable;
+  XLA has no such problem).
+- weight-only INT8, per-channel scales: `x @ int8_w` with the int8->bf16
+  convert *inside* the dot (XLA fuses it tile-wise, so HBM traffic is the
+  int8 bytes — the same win the CUTLASS fpA_intB kernel buys on GPU), then a
+  per-column scale epilogue. Exact, since scale is constant along K.
+- weight-only INT4 / grouped scales: unpack + grouped contraction; the fused
+  Pallas kernel (ops/pallas/woq_matmul.py) replaces this on TPU.
+- SmoothQuant W8A8: int8 x int8 -> int32 on the MXU, fused
+  per-token x per-channel rescale epilogue (reference smoothQuantGemmPlugin
+  semantics: per_token_scale * per_channel_scale * acc).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..quantization.tensors import (
+    SQWeight, WOQWeight, quantize_per_token, quantize_static, unpack_int4,
+)
+
+# Kernel dispatch: when True and running on TPU, hot paths call Pallas kernels
+# registered here by ops.pallas at import time (set via enable_pallas_kernels).
+_PALLAS = {"enabled": False, "woq_matmul": None, "w8a8_matmul": None}
+
+
+def enable_pallas_kernels(enabled: bool = True):
+    if enabled:
+        from . import pallas as _p  # registers kernel impls
+        _p.register(_PALLAS)
+    _PALLAS["enabled"] = enabled
+
+
+def dense(x, w, out_dtype=None):
+    """y = x @ w for any supported weight container.
+
+    x: [..., K]; w: jnp array [K, N] | WOQWeight | SQWeight. Returns [..., N].
+    """
+    if isinstance(w, WOQWeight):
+        return _dense_woq(x, w, out_dtype)
+    if isinstance(w, SQWeight):
+        return _dense_sq(x, w, out_dtype)
+    out_dtype = out_dtype or x.dtype
+    return jnp.dot(x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _dense_woq(x, w: WOQWeight, out_dtype=None):
+    out_dtype = out_dtype or x.dtype
+    if _PALLAS["enabled"] and _PALLAS["woq_matmul"] is not None:
+        y = _PALLAS["woq_matmul"](x, w)
+        return y.astype(out_dtype)
+    q = unpack_int4(w.qweight) if w.w_bits == 4 else w.qweight
+    if w.group_size:
+        g = w.group_size
+        k, n = q.shape[-2], q.shape[-1]
+        xg = x.reshape(*x.shape[:-1], k // g, g)
+        qg = q.reshape(k // g, g, n).astype(x.dtype)
+        # y = sum_g (x_g @ q_g) * scale_g — scale constant within a group
+        yg = jnp.einsum("...gk,gkn->...gn", xg, qg,
+                        preferred_element_type=jnp.float32)
+        y = jnp.sum(yg * w.scale, axis=-2)
+    else:
+        acc = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = acc * w.scale
+    return y.astype(out_dtype)
+
+
+def _dense_sq(x, w: SQWeight, out_dtype=None):
+    out_dtype = out_dtype or x.dtype
+    if w.per_token:
+        x_q, s_x = quantize_per_token(x)
+    else:
+        x_q, s_x = quantize_static(x, w.scale_x), w.scale_x
+    if _PALLAS["enabled"] and _PALLAS["w8a8_matmul"] is not None:
+        return _PALLAS["w8a8_matmul"](x_q, w.qweight, s_x, w.scale_w).astype(out_dtype)
+    acc = jax.lax.dot_general(
+        x_q, w.qweight,
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s_x * w.scale_w
+    return y.astype(out_dtype)
+
+
+def embedding_lookup(table, ids, out_dtype=None):
+    """Embedding gather (reference lookupPlugin -> sharded jnp.take)."""
+    out = jnp.take(table, ids, axis=0)
+    return out.astype(out_dtype) if out_dtype else out

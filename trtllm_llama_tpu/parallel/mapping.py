@@ -1,0 +1,86 @@
+"""Device mesh + parallel layout.
+
+TPU-native replacement for the reference's `Mapping` (tensorrt_llm/mapping.py,
+TP-only, world_size == tp_size) and its NCCL/MPI machinery
+(plugins/ncclPlugin, _utils.py:181-192). On TPU there is no comm bootstrap:
+we build one `jax.sharding.Mesh` and annotate arrays with `NamedSharding`;
+XLA/GSPMD inserts the collectives over ICI (intra-slice) / DCN (inter-slice).
+
+Axis convention:
+  'dp'  — data/batch replicas (reference has none; we support it)
+  'tp'  — tensor parallel (the reference's only axis)
+Sequence/pipeline axes are future extensions; the PartitionSpec helpers below
+are the single source of truth for how every tensor in the engine is laid out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class Mapping:
+    """Parallel layout description: how many ways each axis is sharded."""
+
+    dp: int = 1
+    tp: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.dp * self.tp
+
+    def make_mesh(self, devices=None) -> Mesh:
+        devices = np.asarray(devices if devices is not None else jax.devices())
+        if devices.size < self.world_size:
+            raise ValueError(
+                f"need {self.world_size} devices, have {devices.size}")
+        devices = devices.reshape(self.dp, self.tp)
+        return Mesh(devices, axis_names=("dp", "tp"))
+
+    # ---- PartitionSpecs: the engine-wide sharding contract ----
+    # Weight layouts follow the reference's column/row pattern
+    # (layers/linear.py:79-95,131-137): column-parallel shards the output
+    # features over tp; row-parallel shards the input features over tp and the
+    # output is psum-reduced (XLA inserts the reduce from these annotations).
+
+    @staticmethod
+    def col(ndim: int = 2) -> P:
+        """Column-parallel weight [in, out]: shard out (last dim) over tp."""
+        return P(*([None] * (ndim - 1) + ["tp"]))
+
+    @staticmethod
+    def row(ndim: int = 2) -> P:
+        """Row-parallel weight [in, out]: shard in (second-to-last) over tp."""
+        return P(*([None] * (ndim - 2) + ["tp", None]))
+
+    @staticmethod
+    def replicated(ndim: int = 1) -> P:
+        return P(*([None] * ndim))
+
+    @staticmethod
+    def activations(ndim: int = 3) -> P:
+        """[batch, seq, hidden]: batch over dp, hidden replicated."""
+        return P(*(["dp"] + [None] * (ndim - 1)))
+
+    @staticmethod
+    def kv_cache() -> P:
+        """Stacked KV cache [L, B, H_kv, S, D]: heads over tp, batch over dp."""
+        return P(None, "dp", "tp", None, None)
+
+    def shardings(self, mesh: Mesh, specs):
+        """Map a pytree of PartitionSpecs to NamedShardings."""
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+
+
+def single_device_mapping() -> Mapping:
+    return Mapping(dp=1, tp=1)
+
+
+def local_mesh_1x1() -> Mesh:
+    return Mapping().make_mesh(jax.devices()[:1])

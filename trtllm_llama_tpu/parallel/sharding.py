@@ -1,0 +1,77 @@
+"""Param/cache sharding rules: the engine-wide TP layout.
+
+The TPU-native equivalent of the reference's ColumnLinear/RowLinear weight
+splitting (layers/linear.py, examples/llama/weight.py TP shard logic): instead
+of physically splitting weights per rank at build time, every param leaf gets
+a PartitionSpec and GSPMD materializes the shards + inserts the collectives:
+
+  wq/wk/wv, w_gate/w_up : column-parallel — output features over 'tp'
+                          (heads shard for attention, ffn shard for MLP)
+  wo, w_down            : row-parallel — input features over 'tp'; XLA emits
+                          the psum the reference does with ncclAllReduce
+  lm_head               : column-parallel over vocab
+  embed, norms          : replicated
+  KV cache              : kv-heads over 'tp', batch over 'dp'
+
+Quantized containers shard coherently: qweight shards like the fp weight it
+replaces; per-channel scales shard with the output dim on column-parallel
+weights and stay replicated on row-parallel ones; grouped scales follow the
+qweight's K blocking.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..quantization.tensors import SQWeight, WOQWeight
+
+_COL_KEYS = ("wq", "wk", "wv", "w_gate", "w_up")
+_ROW_KEYS = ("wo", "w_down")
+
+
+def _leaf_spec(path, leaf) -> P:
+    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    name = next((k for k in keys if k in _COL_KEYS + _ROW_KEYS
+                 + ("embed", "lm_head")), None)
+    field = keys[-1] if keys else None   # dataclass field for quant containers
+
+    nd = leaf.ndim
+    if name in _COL_KEYS:
+        if field in ("scale", "scale_w"):
+            # per-channel [L, N] or grouped [L, K/g, N]: N is sharded
+            return P(*([None] * (nd - 1)), "tp")
+        if field in ("scale_x", "scale_y"):
+            return P(*([None] * nd))
+        return P(*([None] * (nd - 1)), "tp")         # [L, K, N] col
+    if name in _ROW_KEYS:
+        if field in ("scale", "scale_w"):
+            if nd >= 3:                               # grouped [L, K/g, N]
+                return P(*([None] * (nd - 2)), "tp", None)
+            return P(*([None] * nd))                  # per-channel: replicated
+        if field in ("scale_x", "scale_y"):
+            return P(*([None] * nd))
+        return P(*([None] * (nd - 2)), "tp", None)    # [L, K, N] row
+    if name == "lm_head":
+        return P(None, "tp")
+    return P(*([None] * nd))                          # embed, norms: replicated
+
+
+def param_specs(params):
+    """Pytree of PartitionSpecs matching the params structure."""
+    return jax.tree_util.tree_map_with_path(_leaf_spec, params)
+
+
+def param_shardings(cfg: ModelConfig, mesh, params=None):
+    """NamedShardings for params. When params is None, returns a function
+    applied lazily by jax.device_put via tree mapping on the real pytree."""
+    if params is None:
+        def make(p):
+            specs = param_specs(p)
+            return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                is_leaf=lambda x: isinstance(x, P))
+        return make
+    specs = param_specs(params)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))

@@ -1,0 +1,138 @@
+"""Sampling: penalties, top-k/top-p, temperature, greedy, stop criteria.
+
+TPU-native replacement for the reference's decode post-processing stack —
+DynamicDecodeLayer + sampling kernels (layers/dynamicDecodeLayer.cpp:154,
+kernels/samplingTopKKernels.cu, samplingTopPKernels.cu,
+samplingPenaltyKernels.cu, stopCriteriaKernels.cu). Instead of a chain of
+CUDA kernels orchestrated per step from the host, the whole thing is one
+jit-able `sample_step` folded into the decode step function, so sampling
+never leaves the device.
+
+Order of operations matches the reference DynamicDecodeLayer::forward:
+repetition/presence penalties -> temperature -> top-k -> top-p -> sample.
+Beam search is a separate module (runtime/beam.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Mirror of the reference SamplingConfig (runtime/generation.py)."""
+
+    temperature: float = 1.0
+    top_k: int = 0                   # 0 => disabled (greedy if top_p also 0)
+    top_p: float = 0.0               # 0 => disabled
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    min_length: int = 0
+    end_id: int = 2                  # LLaMA </s>
+    pad_id: int = 0
+
+    @property
+    def is_greedy(self) -> bool:
+        return (self.top_k in (0, 1)) and self.top_p == 0.0
+
+
+def apply_repetition_penalty(logits, token_counts, repetition_penalty,
+                             presence_penalty=0.0, frequency_penalty=0.0):
+    """CTRL-style repetition penalty + presence/frequency penalties.
+
+    logits: [B, V] f32; token_counts: [B, V] int32 occurrence counts of each
+    vocab token in the sequence so far (cheap to maintain on-device: one
+    scatter-add per step). Semantics follow samplingPenaltyKernels.cu:
+    seen tokens' logits are divided (if >0) / multiplied (if <0) by the
+    repetition penalty; presence subtracts a constant for seen tokens;
+    frequency subtracts count-proportional.
+    """
+    seen = token_counts > 0
+    if repetition_penalty != 1.0:
+        penalized = jnp.where(logits > 0, logits / repetition_penalty,
+                              logits * repetition_penalty)
+        logits = jnp.where(seen, penalized, logits)
+    if presence_penalty != 0.0:
+        logits = logits - presence_penalty * seen.astype(logits.dtype)
+    if frequency_penalty != 0.0:
+        logits = logits - frequency_penalty * token_counts.astype(logits.dtype)
+    return logits
+
+
+def apply_min_length(logits, cur_lens, min_length: int, end_id: int):
+    """Ban end_id until min_length tokens were generated (banBadWords-style
+    masking; reference invokeMinLengthPenalty)."""
+    ban = cur_lens < min_length
+    penalty = jnp.where(ban, -1e9, 0.0).astype(logits.dtype)
+    return logits.at[:, end_id].add(penalty)
+
+
+def apply_top_k(logits, k: int):
+    """Mask everything below the k-th largest logit (samplingTopKKernels.cu)."""
+    if k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -1e9, logits)
+
+
+def apply_top_p(logits, p: float):
+    """Nucleus filtering: keep the smallest prefix of the sorted distribution
+    with cumulative probability >= p (samplingTopPKernels.cu semantics)."""
+    if p <= 0.0 or p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob of *previous* tokens < p
+    keep_sorted = (cum - probs) < p
+    # threshold logit = smallest kept logit
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                     axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, -1e9, logits)
+
+
+def sample_step(logits, cfg: SamplingConfig, key=None, token_counts=None,
+                cur_lens=None):
+    """One sampling step. logits [B, V] f32 -> tokens [B] int32.
+
+    All branches resolve at trace time (cfg is static), so the jitted decode
+    step contains only the ops the config needs.
+    """
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None and (cfg.repetition_penalty != 1.0
+                                     or cfg.presence_penalty != 0.0
+                                     or cfg.frequency_penalty != 0.0):
+        logits = apply_repetition_penalty(
+            logits, token_counts, cfg.repetition_penalty,
+            cfg.presence_penalty, cfg.frequency_penalty)
+    if cfg.min_length > 0 and cur_lens is not None:
+        logits = apply_min_length(logits, cur_lens, cfg.min_length, cfg.end_id)
+    if cfg.is_greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if cfg.temperature != 1.0:
+        logits = logits / cfg.temperature
+    if cfg.top_k > 1:
+        logits = apply_top_k(logits, cfg.top_k)
+    if cfg.top_p > 0.0:
+        logits = apply_top_p(logits, cfg.top_p)
+    assert key is not None, "stochastic sampling needs a PRNG key"
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def update_token_counts(token_counts, tokens):
+    """Scatter-add new tokens into per-sequence occurrence counts."""
+    b = tokens.shape[0]
+    return token_counts.at[jnp.arange(b), tokens].add(1)
+
+
+def init_token_counts(input_ids, seq_lens, vocab_size: int):
+    """Count prompt tokens (padding excluded) for repetition penalties."""
+    b, s = input_ids.shape
+    valid = jnp.arange(s)[None, :] < seq_lens[:, None]
+    one_hot = jax.nn.one_hot(input_ids, vocab_size, dtype=jnp.int32)
+    return jnp.sum(one_hot * valid[..., None].astype(jnp.int32), axis=1)

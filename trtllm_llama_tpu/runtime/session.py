@@ -1,0 +1,187 @@
+"""GenerationSession: the engine's runtime.
+
+Replaces the reference's Python GenerationSession (runtime/generation.py) and
+C++ GptSession (runtime/gptSession.cpp) with ONE runtime. Key design deltas,
+all TPU-motivated:
+
+- The reference re-binds shapes/buffers and syncs with the host every token
+  (generation.py:852-996, should_stop.item() per step). Here the entire
+  generation loop — embed -> layers -> logits -> penalties -> sample -> KV
+  write -> stop check — runs on device inside a single jitted function using
+  `lax.while_loop`, with donated KV buffers. One host call per request batch.
+- TRT optimization profiles become prefill length buckets: inputs are padded
+  to the nearest bucket and each (bucket, batch, max_new, sampling) tuple is
+  compiled once and cached (AOT-compile-on-first-use; `warmup()` precompiles).
+- No engine serialization step: XLA's compilation cache plays the role of the
+  TRT engine file; "engine build" is weight conversion (convert/).
+
+Sharded execution: pass a Mesh + Mapping and the session lays params/caches
+out with NamedSharding; the same jitted functions then run SPMD over the mesh
+with XLA inserting the TP collectives (psum after wo/w_down — the exact
+collective pattern of reference linear.py:131-137, but compiler-inserted).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..models import llama
+from ..ops.attention import KVCache
+from ..parallel.mapping import Mapping
+from .sampling import (
+    SamplingConfig, init_token_counts, sample_step, update_token_counts,
+)
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    """output_ids: [B, max_new] (pad_id-filled after EOS); lengths: [B]."""
+
+    output_ids: np.ndarray
+    lengths: np.ndarray
+
+
+class GenerationSession:
+    def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
+                 mapping: Optional[Mapping] = None, mesh=None,
+                 kv_scales=None):
+        self.cfg = cfg
+        self.engine_cfg = engine_cfg
+        self.mapping = mapping or Mapping()
+        self.mesh = mesh
+        self.kv_scales = kv_scales
+        self.params = params
+        if mesh is not None:
+            self.params = self._shard_params(params, mesh)
+        self._fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _shard_params(self, params, mesh):
+        from ..parallel.sharding import param_shardings
+        shardings = param_shardings(self.cfg, mesh, params)
+        return jax.device_put(params, shardings)
+
+    def _cache_sharding(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if mesh is None:
+            return None
+        spec = P(None, None, "tp", None, None)  # heads over tp
+        return KVCache(NamedSharding(mesh, spec), NamedSharding(mesh, spec),
+                       NamedSharding(mesh, P(None)))
+
+    def make_caches(self, batch: int, max_len: int) -> KVCache:
+        caches = llama.init_caches(self.cfg, batch, max_len, self.kv_scales)
+        sh = self._cache_sharding(self.mesh)
+        if sh is not None:
+            caches = jax.device_put(caches, sh)
+        return caches
+
+    # ------------------------------------------------------------------
+    def _generate_fn(self, bucket: int, max_len: int, max_new: int,
+                     scfg: SamplingConfig, use_penalties: bool):
+        """Build the single jitted end-to-end generate function."""
+        cfg = self.cfg
+
+        def fn(params, input_ids, seq_lens, caches, key):
+            b = input_ids.shape[0]
+            logits, caches = llama.forward_prefill(
+                params, cfg, input_ids, seq_lens, caches)
+            if use_penalties:
+                counts = init_token_counts(input_ids, seq_lens, cfg.vocab_size)
+            else:
+                counts = None
+            key, sub = jax.random.split(key)
+            tokens = sample_step(logits, scfg, sub, counts,
+                                 jnp.zeros((b,), jnp.int32))
+            if use_penalties:
+                counts = update_token_counts(counts, tokens)
+            out = jnp.full((b, max_new), scfg.pad_id, jnp.int32)
+            out = out.at[:, 0].set(
+                jnp.where(tokens == scfg.end_id, scfg.end_id, tokens))
+            done = tokens == scfg.end_id
+            lengths = jnp.ones((b,), jnp.int32)
+
+            def cond(state):
+                step, _, _, _, done, *_ = state
+                return (step < max_new) & ~jnp.all(done)
+
+            def body(state):
+                step, tokens, positions, caches, done, out, lengths, key, counts = state
+                logits, caches = llama.forward_decode(
+                    params, cfg, tokens, positions, caches)
+                key, sub = jax.random.split(key)
+                gen_lens = jnp.full((b,), 0, jnp.int32) + step
+                nxt = sample_step(logits, scfg, sub, counts, gen_lens)
+                nxt = jnp.where(done, scfg.pad_id, nxt)
+                if counts is not None:
+                    counts = update_token_counts(
+                        counts, jnp.where(done, 0, nxt))
+                out = out.at[:, step].set(nxt)
+                new_done = done | (nxt == scfg.end_id)
+                lengths = lengths + (~done).astype(jnp.int32)
+                positions = positions + (~done).astype(jnp.int32)
+                return (step + 1, nxt, positions, caches, new_done, out,
+                        lengths, key, counts)
+
+            state = (jnp.int32(1), tokens, seq_lens, caches, done, out,
+                     lengths, key, counts)
+            state = jax.lax.while_loop(cond, body, state)
+            (_, _, _, caches, _, out, lengths, _, _) = state
+            return out, lengths, caches
+
+        donate = (3,)  # caches donated for in-place KV update
+        return jax.jit(fn, donate_argnums=donate)
+
+    def _get_fn(self, bucket, max_len, max_new, scfg):
+        use_penalties = (scfg.repetition_penalty != 1.0
+                         or scfg.presence_penalty != 0.0
+                         or scfg.frequency_penalty != 0.0)
+        key = (bucket, max_len, max_new, scfg, use_penalties)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._generate_fn(
+                bucket, max_len, max_new, scfg, use_penalties)
+        return self._fn_cache[key]
+
+    # ------------------------------------------------------------------
+    def generate(self, input_ids, seq_lens=None,
+                 sampling: Optional[SamplingConfig] = None,
+                 max_new_tokens: int = 32, seed: int = 0) -> GenerationOutput:
+        """input_ids: [B, S] numpy (right-padded with pad_id) or list of lists."""
+        scfg = sampling or SamplingConfig()
+        if isinstance(input_ids, (list, tuple)):
+            seq_lens = np.array([len(x) for x in input_ids], np.int32)
+            s = int(seq_lens.max())
+            arr = np.full((len(input_ids), s), scfg.pad_id, np.int32)
+            for i, x in enumerate(input_ids):
+                arr[i, :len(x)] = x
+            input_ids = arr
+        input_ids = np.asarray(input_ids)
+        b, s = input_ids.shape
+        if seq_lens is None:
+            seq_lens = np.full((b,), s, np.int32)
+        bucket = self.engine_cfg.bucket_for(s)
+        padded = np.full((b, bucket), scfg.pad_id, np.int32)
+        padded[:, :s] = input_ids
+        max_len = min(self.engine_cfg.max_seq_len, bucket + max_new_tokens)
+
+        caches = self.make_caches(b, max_len)
+        fn = self._get_fn(bucket, max_len, max_new_tokens, scfg)
+        out, lengths, _ = fn(self.params, jnp.asarray(padded),
+                             jnp.asarray(seq_lens, jnp.int32), caches,
+                             jax.random.PRNGKey(seed))
+        return GenerationOutput(np.asarray(out), np.asarray(lengths))
+
+    def warmup(self, batch: int, bucket: int, max_new: int,
+               sampling: Optional[SamplingConfig] = None):
+        """Precompile a shape combination (the 'engine build' step)."""
+        scfg = sampling or SamplingConfig()
+        ids = np.full((batch, bucket), scfg.pad_id, np.int32)
+        self.generate(ids, np.full((batch,), bucket, np.int32), scfg,
+                      max_new_tokens=max_new)
