@@ -1,0 +1,97 @@
+"""Benchmark harness: LLaMA-7B decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md Task B): reference TRT weight-only INT8 on A10 decodes
+50 tokens (bs1, in 8) in 0.78494 s => 63.70 tokens/s. vs_baseline is our
+tokens/s on the matching config (LLaMA-7B, weight-only INT8, bs 1) divided
+by that. Weights are random — decode throughput is weight-value independent.
+
+Env knobs:
+  BENCH_CONFIG   fp16 | int8 | int4 | int8kv | sq     (default int8)
+  BENCH_BATCH    batch size                           (default 1)
+  BENCH_IN/OUT   prompt len / new tokens              (default 8 / 50)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# A10 reference Task-B latencies for 50 new tokens, bs1 in8 (BASELINE.md)
+_BASELINE_TOKS_PER_S = {
+    "fp16": 50 / 1.40416,    # TRT KV-cache+attn plugin FP16 -> 35.61
+    "int8": 50 / 0.78494,    # weight-only INT8            -> 63.70
+    "int4": 50 / 0.48769,    # weight-only INT4            -> 102.52
+    "int8kv": 50 / 1.40520,  # INT8 KV cache               -> 35.58
+    "sq": 50 / 0.78494,      # reference SQ never built; use INT8 row
+}
+
+
+def build_engine(config_name: str, batch: int, max_len: int):
+    from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+    from trtllm_llama_tpu.models import llama
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.runtime.session import GenerationSession
+
+    qm = {
+        "fp16": QuantMode(0),
+        "int8": QuantMode.use_weight_only(False),
+        "int4": QuantMode.use_weight_only(True, per_group=True),
+        "int8kv": QuantMode.INT8_KV_CACHE,
+        "sq": QuantMode.use_smooth_quant(per_token=True, per_channel=True),
+    }[config_name]
+    group = 128 if config_name == "int4" else 0
+    cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group)
+
+    # Random weights born quantized — never materializes the fp 7B model
+    # (decode throughput is weight-value independent).
+    from trtllm_llama_tpu.quantization.quantize import init_random_quantized_params
+    params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm, group)
+    kv_scales = (np.full((cfg.num_layers,), 0.05, np.float32)
+                 if qm.has_int8_kv_cache() else None)
+    sess = GenerationSession(
+        cfg, params,
+        EngineConfig(max_batch_size=batch, max_input_len=1024,
+                     max_seq_len=max_len),
+        kv_scales=kv_scales)
+    return cfg, sess
+
+
+def main():
+    from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+
+    config_name = os.environ.get("BENCH_CONFIG", "int8")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    in_len = int(os.environ.get("BENCH_IN", "8"))
+    out_len = int(os.environ.get("BENCH_OUT", "50"))
+
+    cfg, sess = build_engine(config_name, batch, max_len=in_len + out_len + 16)
+    ids = np.random.default_rng(0).integers(3, cfg.vocab_size, (batch, in_len))
+    scfg = SamplingConfig(end_id=-1)  # fixed-length decode for stable timing
+
+    # warmup/compile
+    sess.generate(ids, max_new_tokens=out_len, sampling=scfg)
+    # timed runs
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = sess.generate(ids, max_new_tokens=out_len, sampling=scfg)
+    dt = (time.perf_counter() - t0) / n_runs
+    toks_per_s = batch * out_len / dt
+
+    vs = toks_per_s / _BASELINE_TOKS_PER_S[config_name]
+    print(json.dumps({
+        "metric": f"tokens/sec/chip (LLaMA-7B {config_name}, "
+                  f"bs{batch} in{in_len} out{out_len})",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

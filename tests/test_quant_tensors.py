@@ -18,12 +18,13 @@ from trtllm_llama_tpu.quantization.tensors import (
 )
 
 
-def test_int4_pack_roundtrip():
+@pytest.mark.parametrize("pack_block", [2, 32, 64])
+def test_int4_pack_roundtrip(pack_block):
     rng = np.random.default_rng(0)
     q = rng.integers(-8, 8, (6, 64, 128)).astype(np.int8)
-    packed = pack_int4(jnp.asarray(q))
+    packed = pack_int4(jnp.asarray(q), pack_block)
     assert packed.shape == (6, 32, 128)
-    out = unpack_int4(packed)
+    out = unpack_int4(packed, pack_block)
     np.testing.assert_array_equal(np.asarray(out), q)
 
 

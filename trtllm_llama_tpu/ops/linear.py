@@ -56,10 +56,17 @@ def dense(x, w, out_dtype=None):
 
 def _dense_woq(x, w: WOQWeight, out_dtype=None):
     out_dtype = out_dtype or x.dtype
-    if _PALLAS["enabled"] and _PALLAS["woq_matmul"] is not None:
+    # INT4 must go through the Pallas kernel (the XLA unpack path is ~16x
+    # slower). INT8 currently keeps the XLA convert-inside-dot path: inside
+    # lax.scan a pallas operand forces materializing the sliced layer weight
+    # (an extra HBM round trip), which costs more than the kernel saves —
+    # until the stacked scalar-prefetch kernel variant lands.
+    if (_PALLAS["enabled"] and _PALLAS["woq_matmul"] is not None
+            and w.w_bits == 4):
         y = _PALLAS["woq_matmul"](x, w)
         return y.astype(out_dtype)
-    q = unpack_int4(w.qweight) if w.w_bits == 4 else w.qweight
+    q = (unpack_int4(w.qweight, w.pack_block) if w.w_bits == 4
+         else w.qweight)
     if w.group_size:
         g = w.group_size
         k, n = q.shape[-2], q.shape[-1]

@@ -1,0 +1,178 @@
+"""Pallas weight-only dequant-inside-matmul kernel (INT8 / INT4 weights).
+
+TPU-native replacement for the reference's weightOnlyQuantMatmulPlugin +
+CutlassFpAIntBGemmRunner + weight_only_gemv_launcher
+(weightOnlyQuantMatmulPlugin.cpp:47-223, cutlass_kernels/fpA_intB_gemm):
+activations stay bf16/f32, weights stream from HBM as int8 (or block-planar
+packed int4 — see quantization.tensors.pack_int4) and are expanded to
+bf16 *in VMEM*, feeding the MXU. HBM traffic is the quantized bytes — the
+entire point of weight-only quantization at decode time, where the matmul is
+memory-bound.
+
+Kernel shape: grid (m_tiles, n_tiles); each program owns a full-K weight
+column panel (streamed/double-buffered by the Pallas pipeline across n
+steps) and accumulates over K in a *statically unrolled* chunk loop — static
+slices keep every sublane offset provably aligned (grouped scales included)
+and keep the accumulator in registers instead of revisiting the output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...quantization.tensors import WOQWeight
+
+
+def _pick_tile(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim
+
+
+def _unpack_block(packed_block):
+    """[pb//2, bn] planar-packed int4 block -> [pb, bn] int32 (in [-8, 7]).
+
+    Strictly-2D nibble math in int32: Mosaic does not legalize int8 vector
+    shifts, and keeping everything 2D keeps its compile time sane. lo =
+    sign-extended low nibble via the (x ^ 8) - 8 trick; hi = arithmetic
+    shift (the byte's sign bit IS the hi nibble's sign bit).
+    """
+    b = packed_block.astype(jnp.int32)
+    lo = ((b & 0xF) ^ 8) - 8
+    hi = jnp.right_shift(b, 4)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
+                 k, compute_dtype):
+    """INT4: statically unrolled loop over pack blocks; each block unpacks
+    2D and (for grouped mode, where group_size == pack_block) applies its
+    scale row before the dot."""
+    pb = pack_block
+    acc = None
+    for i in range(k // pb):
+        q = _unpack_block(w_ref[i * pb // 2:(i + 1) * pb // 2, :])
+        if group_size:
+            q = q.astype(jnp.float32) * s_ref[i:i + 1, :]
+        w_c = q.astype(compute_dtype)
+        x_c = x_ref[:, i * pb:(i + 1) * pb].astype(compute_dtype)
+        part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    if not group_size:
+        acc = acc * s_ref[:].astype(jnp.float32)
+    o_ref[:] = acc
+
+
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
+                 compute_dtype):
+    acc = None
+    for c in range(n_chunks):
+        qc = w_ref[c * ck:(c + 1) * ck, :]
+        x_c = x_ref[:, c * ck:(c + 1) * ck].astype(compute_dtype)
+        if group_size:
+            rows = ck // group_size
+            sc = s_ref[c * rows:(c + 1) * rows, :]          # static slice
+            qf = qc.reshape(rows, group_size, -1).astype(jnp.float32)
+            w_c = (qf * sc[:, None, :]).reshape(ck, -1).astype(compute_dtype)
+        else:
+            w_c = qc.astype(compute_dtype)
+        part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    if not group_size:
+        acc = acc * s_ref[:].astype(jnp.float32)
+    o_ref[:] = acc
+
+
+def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
+                  compute_dtype=jnp.bfloat16, interpret=False):
+    """x: [M, K] -> [M, N] f32. w.qweight: [K(/2), N]."""
+    m, k_x = x.shape
+    k = w.k_dim
+    n = w.qweight.shape[-1]
+    assert k_x == k, (k_x, k)
+    w_bytes_per_el = 0.5 if w.w_bits == 4 else 1
+
+    pad_m = (-m) % 8
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    m_p = m + pad_m
+
+    bm = bm or min(256, m_p)
+    if m_p % bm:
+        bm = _pick_tile(m_p, (128, 64, 32, 16, 8))
+    if bn is None:
+        # keep the double-buffered weight panel under ~8 MB of VMEM
+        budget = 8 * 1024 * 1024
+        for cand in (2048, 1024, 512, 256, 128):
+            if n % cand == 0 and 2 * k * cand * w_bytes_per_el <= budget:
+                bn = cand
+                break
+        else:
+            bn = _pick_tile(n, (256, 128))
+    ck = _pick_tile(k, (512, 256, 128, 64, 32, 16, 8))
+    gs = w.group_size
+    if w.w_bits == 4 and gs:
+        assert gs == w.pack_block, (
+            "int4 grouped mode requires group_size == pack_block "
+            f"(got {gs} vs {w.pack_block})")
+    if gs:
+        assert ck % gs == 0, (ck, gs)
+
+    n_m, n_n, n_chunks = m_p // bm, n // bn, k // ck
+    pack_div = 2 if w.w_bits == 4 else 1
+
+    if gs:
+        s_spec = pl.BlockSpec((k // gs, bn), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+        scale = w.scale
+    else:
+        s_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+        scale = w.scale.reshape(1, n)
+
+    if w.w_bits == 4:
+        kernel = functools.partial(
+            _kernel_int4, pack_block=w.pack_block, group_size=gs, k=k,
+            compute_dtype=compute_dtype)
+    else:
+        kernel = functools.partial(
+            _kernel_int8, group_size=gs, ck=ck, n_chunks=n_chunks,
+            compute_dtype=compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_m, n_n),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // pack_div, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n * k,
+            bytes_accessed=int(k * n * w_bytes_per_el
+                               + m_p * k * 2 + m_p * n * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(x, w.qweight, scale)
+    return out[:m] if pad_m else out
+
+
+def woq_matmul(x, w: WOQWeight, interpret=False):
+    """Batched entry: x [..., K] -> [..., N] f32."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = woq_matmul_2d(x2, w, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])

@@ -29,6 +29,70 @@ from .tensors import quantize_smoothquant_weight, quantize_weight_only
 _ATTN_MLP_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
+                                 group_size: int = 0):
+    """Random params with projections *born quantized* — never materializes
+    the fp model, so a 7B int8 engine inits within one chip's HBM.
+
+    Used by the benchmark harness (decode perf is weight-value independent)
+    and by memory-bounded tests.
+    """
+    import jax
+    from .tensors import SQWeight, WOQWeight
+
+    quant_mode = quant_mode if quant_mode is not None else cfg.quant_mode
+    d, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    dtype = cfg.jnp_dtype
+    keys = iter(jax.random.split(key, 16))
+
+    shapes = {
+        "wq": (l, d, nq * hd), "wk": (l, d, nkv * hd), "wv": (l, d, nkv * hd),
+        "wo": (l, nq * hd, d), "w_gate": (l, d, f), "w_up": (l, d, f),
+        "w_down": (l, f, d),
+    }
+
+    def rand_int8(k, shape):
+        return jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+
+    def make_weight(k, shape):
+        fan_in = shape[-2]
+        if quant_mode.is_weight_only():
+            w_bits = 4 if quant_mode.has_int4_weights() else 8
+            gs = group_size if quant_mode.has_per_group_scaling() else 0
+            kk, nn = shape[-2], shape[-1]
+            qshape = shape[:-2] + ((kk // 2 if w_bits == 4 else kk), nn)
+            sshape = shape[:-2] + (((kk // gs, nn) if gs else (nn,)))
+            scale = jnp.full(sshape, (fan_in ** -0.5) / 127.0, jnp.float32)
+            from .tensors import default_pack_block
+            pb = default_pack_block(kk, gs) if w_bits == 4 else 0
+            return WOQWeight(rand_int8(k, qshape), scale, w_bits, gs, pb)
+        if quant_mode.has_act_and_weight_quant():
+            per_channel = quant_mode.has_per_channel_scaling()
+            sshape = shape[:-2] + ((shape[-1],) if per_channel else (1,))
+            return SQWeight(
+                rand_int8(k, shape),
+                jnp.full(sshape, (fan_in ** -0.5) / 127.0, jnp.float32),
+                jnp.full(shape[:-2], 0.02, jnp.float32),
+                jnp.ones(shape[:-2], jnp.float32),
+                per_channel=per_channel,
+                per_token=quant_mode.has_per_token_dynamic_scaling())
+        return jax.random.normal(k, shape, dtype) * (fan_in ** -0.5)
+
+    layers = {"attn_norm": jnp.ones((l, d), dtype),
+              "mlp_norm": jnp.ones((l, d), dtype)}
+    for name, shape in shapes.items():
+        layers[name] = make_weight(next(keys), shape)
+    return {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, d),
+                                   dtype) * (d ** -0.5),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": jax.random.normal(next(keys), (d, cfg.vocab_size),
+                                     dtype) * (d ** -0.5),
+    }
+
+
 def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
                     act_ranges: Optional[Mapping] = None):
     """Return a new params pytree with quantized projection weights.

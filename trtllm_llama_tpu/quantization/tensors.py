@@ -48,31 +48,50 @@ def dequantize_int8(q, scale, dtype=jnp.float32):
 # INT4 packing — two nibbles per int8 byte along the contraction axis
 # ---------------------------------------------------------------------------
 
-def pack_int4(q):
-    """Pack int values in [-8, 7] along axis -2 (K) into int8 bytes.
+def default_pack_block(k: int, group_size: int = 0) -> int:
+    """Pick the int4 pack block: group_size when grouped, else the largest of
+    128/64/... dividing K (whole-K for tiny tests)."""
+    if group_size:
+        return group_size
+    for pb in (128, 64, 32, 16, 8, 4, 2):
+        if k % pb == 0:
+            return pb
+    raise ValueError(f"K={k} must be even for int4 packing")
 
-    q: [..., K, N] int8 with values in [-8, 7]; returns [..., K//2, N] int8
-    where byte b = (q[2k+1] << 4) | (q[2k] & 0xF). The low nibble is the even
-    K element — the kernel-side unpack must match exactly.
+
+def pack_int4(q, pack_block: int):
+    """Pack int values in [-8, 7] along axis -2 (K) into int8 bytes,
+    *planar within each pack_block rows* (the TPU-friendly layout).
+
+    Within block b (logical rows [b*pb, (b+1)*pb)), packed row r holds
+    lo = q[b*pb + r] and hi = q[b*pb + pb/2 + r]. The kernel-side unpack is
+    then shift/mask + a contiguous concat — no sublane interleave. This
+    offline layout choice is our analogue of the reference's
+    preprocess_weights_for_mixed_gemm arch-specific shuffling
+    (cutlass_preprocessors.cpp).
     """
-    assert q.shape[-2] % 2 == 0, "K must be even for int4 packing"
-    lo = q[..., 0::2, :].astype(jnp.uint8) & 0xF
-    hi = (q[..., 1::2, :].astype(jnp.uint8) & 0xF) << 4
-    return (lo | hi).astype(jnp.int8)
+    k, n = q.shape[-2], q.shape[-1]
+    pb = pack_block
+    assert pb % 2 == 0 and k % pb == 0, (k, pb)
+    qb = q.reshape(*q.shape[:-2], k // pb, pb, n)
+    lo = qb[..., : pb // 2, :].astype(jnp.uint8) & 0xF
+    hi = (qb[..., pb // 2:, :].astype(jnp.uint8) & 0xF) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return packed.reshape(*q.shape[:-2], k // 2, n)
 
 
-def unpack_int4(packed):
-    """Inverse of pack_int4: [..., K//2, N] int8 -> [..., K, N] int8 in [-8,7].
+def unpack_int4(packed, pack_block: int):
+    """Inverse of pack_int4: [..., K//2, N] -> [..., K, N] int8 in [-8, 7].
 
-    Sign-extension of a nibble on int8 lanes: shift left then arithmetic
-    shift right (VPU-friendly; used verbatim inside the Pallas kernel).
+    Pure shift/mask on int8 lanes + contiguous concat per block; used
+    verbatim inside the Pallas matmul kernel.
     """
-    b = packed.astype(jnp.int8)
-    lo = jnp.left_shift(b, 4)                       # low nibble -> high bits
-    lo = jnp.right_shift(lo, 4)                     # arithmetic: sign-extends
-    hi = jnp.right_shift(b, 4)                      # arithmetic shift
+    pb = pack_block
     k2, n = packed.shape[-2], packed.shape[-1]
-    out = jnp.stack([lo, hi], axis=-2)              # [..., K//2, 2, N]
+    b = packed.reshape(*packed.shape[:-2], (2 * k2) // pb, pb // 2, n)
+    lo = jnp.right_shift(jnp.left_shift(b, 4), 4)   # sign-extend low nibble
+    hi = jnp.right_shift(b, 4)                      # arithmetic shift
+    out = jnp.concatenate([lo, hi], axis=-2)        # [..., nb, pb, n]
     return out.reshape(*packed.shape[:-2], 2 * k2, n)
 
 
@@ -81,12 +100,14 @@ def unpack_int4(packed):
 # ---------------------------------------------------------------------------
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["qweight", "scale"], meta_fields=["w_bits", "group_size"])
+         data_fields=["qweight", "scale"],
+         meta_fields=["w_bits", "group_size", "pack_block"])
 @dataclasses.dataclass
 class WOQWeight:
     """Weight-only quantized linear weight.
 
-    qweight: int8 [..., K, N] (int8 mode) or packed [..., K//2, N] (int4 mode)
+    qweight: int8 [..., K, N] (int8 mode) or packed [..., K//2, N] (int4 mode,
+             block-planar layout — see pack_int4)
     scale:   f32  [..., N] per-channel, or [..., K//g, N] grouped
     """
 
@@ -94,6 +115,7 @@ class WOQWeight:
     scale: jnp.ndarray
     w_bits: int = 8
     group_size: int = 0     # 0 => per-channel
+    pack_block: int = 0     # int4 pack layout block (0 for int8)
 
     @property
     def k_dim(self) -> int:
@@ -101,7 +123,8 @@ class WOQWeight:
         return 2 * k if self.w_bits == 4 else k
 
     def dequantize(self, dtype=jnp.float32):
-        q = unpack_int4(self.qweight) if self.w_bits == 4 else self.qweight
+        q = (unpack_int4(self.qweight, self.pack_block)
+             if self.w_bits == 4 else self.qweight)
         if self.group_size:
             g = self.group_size
             shp = q.shape
@@ -134,10 +157,13 @@ def quantize_weight_only(w, w_bits: int = 8, group_size: int = 0) -> WOQWeight:
         scale = jnp.maximum(amax, 1e-8) / qmax
         q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[..., None, :]),
                      -qmax, qmax).astype(jnp.int8)
+    pack_block = 0
     if w_bits == 4:
-        q = pack_int4(q)
+        pack_block = default_pack_block(w.shape[-2], group_size)
+        q = pack_int4(q, pack_block)
     return WOQWeight(qweight=q, scale=scale.astype(jnp.float32),
-                     w_bits=w_bits, group_size=group_size)
+                     w_bits=w_bits, group_size=group_size,
+                     pack_block=pack_block)
 
 
 @partial(jax.tree_util.register_dataclass,

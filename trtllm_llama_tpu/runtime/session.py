@@ -60,6 +60,12 @@ class GenerationSession:
         self.params = params
         if mesh is not None:
             self.params = self._shard_params(params, mesh)
+        elif jax.default_backend() != "cpu":
+            # Single-chip TPU: route hot matmuls through the Pallas kernels.
+            # (The sharded path keeps the XLA-partitionable ops until the
+            # shard_map kernel path lands.)
+            from ..ops.linear import enable_pallas_kernels
+            enable_pallas_kernels(True)
         self._fn_cache = {}
 
     # ------------------------------------------------------------------
