@@ -48,3 +48,18 @@ def test_woq_matmul_uneven_k_tiles():
     y = woq_matmul(jnp.asarray(x), woq, interpret=True)
     y_ref = x @ np.asarray(woq.dequantize())
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("w_bits,group_size", [(8, 0), (4, 0), (4, 128)])
+def test_woq_matmul_stacked(w_bits, group_size):
+    """Stacked [L, K, N] weights + scalar-prefetch layer index."""
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import woq_matmul_stacked
+    rng = np.random.default_rng(3)
+    l, k, n, m = 3, 256, 256, 8
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    woq = quantize_weight_only(jnp.asarray(w), w_bits, group_size)
+    for layer in range(l):
+        y = woq_matmul_stacked(jnp.asarray(x), woq, layer, interpret=True)
+        y_ref = x @ np.asarray(woq.dequantize())[layer]
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=3e-2, rtol=3e-2)

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, decode_attention, make_kv_cache, prefill_attention,
-    write_kv_decode, write_kv_prefill,
+    KVCache, decode_attention_at, prefill_attention,
+    write_kv_decode_at, write_kv_prefill_at,
 )
 from ..ops.linear import dense, embedding_lookup
 from ..ops.norm import rms_norm
@@ -90,48 +90,56 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(*x.shape[:-1], n_heads, head_dim)
 
 
-def _attn_block(cfg: ModelConfig, lp, x, cos, sin, cache: KVCache,
+def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
                 seq_lens, decode: bool):
-    """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode)."""
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = _split_heads(dense(h, lp["wq"]), cfg.num_heads, cfg.head_dim)
-    k = _split_heads(dense(h, lp["wk"]), cfg.num_kv_heads, cfg.head_dim)
-    v = _split_heads(dense(h, lp["wv"]), cfg.num_kv_heads, cfg.head_dim)
+    """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode).
+
+    lw holds the *stacked* layer weights; `layer` is the (traced) layer
+    index — dense() fuses the slice into the matmul / Pallas kernel, and the
+    stacked KV cache is updated in place at this layer.
+    """
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+    h = rms_norm(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
+    q = _split_heads(dense(h, lw["wq"], layer=layer), cfg.num_heads, cfg.head_dim)
+    k = _split_heads(dense(h, lw["wk"], layer=layer), cfg.num_kv_heads, cfg.head_dim)
+    v = _split_heads(dense(h, lw["wv"], layer=layer), cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
     if decode:
         # q,k,v: [B, H, D]; cos/sin: [B, 1, d] broadcast over heads
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = write_kv_decode(cache, k, v, seq_lens)
-        attn = decode_attention(q, cache, seq_lens + 1)
+        caches = write_kv_decode_at(caches, layer, k, v, seq_lens)
+        attn = decode_attention_at(q, caches, layer, seq_lens + 1)
     else:
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = write_kv_prefill(cache, k, v)
+        caches = write_kv_prefill_at(caches, layer, k, v)
         attn = prefill_attention(q, k, v, seq_lens)
     attn = attn.reshape(*attn.shape[:-2], cfg.num_heads * cfg.head_dim)
-    return x + dense(attn, lp["wo"]), cache
+    return x + dense(attn, lw["wo"], layer=layer), caches
 
 
-def _mlp_block(cfg: ModelConfig, lp, x):
-    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+def _mlp_block(cfg: ModelConfig, lw, layer, x):
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+    h = rms_norm(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
     # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
-    g = dense(h, lp["w_gate"])
-    u = dense(h, lp["w_up"])
+    g = dense(h, lw["w_gate"], layer=layer)
+    u = dense(h, lw["w_up"], layer=layer)
     return x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                     lp["w_down"])
+                     lw["w_down"], layer=layer)
 
 
 def _run_layers(cfg: ModelConfig, params: Params, x, cos, sin, caches,
                 seq_lens, decode: bool):
-    def body(carry, xs):
-        lp, cache = xs
-        h, new_cache = _attn_block(cfg, lp, carry, cos, sin, cache,
-                                   seq_lens, decode)
-        h = _mlp_block(cfg, lp, h)
-        return h, new_cache
+    lw = params["layers"]
 
-    x, new_caches = jax.lax.scan(body, x, (params["layers"], caches))
-    return x, new_caches
+    def body(carry, layer):
+        x, caches = carry
+        h, caches = _attn_block(cfg, lw, layer, x, cos, sin, caches,
+                                seq_lens, decode)
+        h = _mlp_block(cfg, lw, layer, h)
+        return (h, caches), None
+
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), jnp.arange(cfg.num_layers))
+    return x, caches
 
 
 def forward_prefill(params: Params, cfg: ModelConfig, input_ids, seq_lens,

@@ -64,10 +64,8 @@ def write_kv_prefill(cache: KVCache, k, v) -> KVCache:
     """Write [B, S, H_kv, D] k/v at positions [0, S) (context phase)."""
     k = jnp.swapaxes(k, 1, 2)       # -> [B, H, S, D]
     v = jnp.swapaxes(v, 1, 2)
-    s = k.shape[2]
     kc = jax.lax.dynamic_update_slice(cache.k, _quant_kv(k, cache), (0, 0, 0, 0))
     vc = jax.lax.dynamic_update_slice(cache.v, _quant_kv(v, cache), (0, 0, 0, 0))
-    del s
     return KVCache(kc, vc, cache.scale)
 
 
@@ -78,6 +76,48 @@ def write_kv_decode(cache: KVCache, k, v, positions) -> KVCache:
     kc = cache.k.at[bidx, :, positions, :].set(_quant_kv(k, cache))
     vc = cache.v.at[bidx, :, positions, :].set(_quant_kv(v, cache))
     return KVCache(kc, vc, cache.scale)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-cache (all layers, [L, B, H_kv, S, D]) variants. Used by the
+# index-scan model loop: the cache lives in the scan *carry* and each layer
+# updates its slice in place (XLA keeps dynamic-update-slice of a loop carry
+# buffer in place — no per-layer copy, unlike scanning the cache as xs/ys).
+# ---------------------------------------------------------------------------
+
+def _layer_cache(cache: KVCache, layer) -> KVCache:
+    return KVCache(
+        jax.lax.dynamic_index_in_dim(cache.k, layer, 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(cache.v, layer, 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(cache.scale, layer, 0, keepdims=False)
+        if cache.scale.ndim else cache.scale)
+
+
+def write_kv_prefill_at(cache: KVCache, layer, k, v) -> KVCache:
+    """Stacked cache: write [B, S, H_kv, D] into layer `layer` at [0, S)."""
+    lc = _layer_cache(cache, layer)
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+    zero = (layer, 0, 0, 0, 0)
+    kc = jax.lax.dynamic_update_slice(cache.k, _quant_kv(k, lc)[None], zero)
+    vc = jax.lax.dynamic_update_slice(cache.v, _quant_kv(v, lc)[None], zero)
+    return KVCache(kc, vc, cache.scale)
+
+
+def write_kv_decode_at(cache: KVCache, layer, k, v, positions) -> KVCache:
+    """Stacked cache: write one token per sequence into layer `layer`."""
+    lc = _layer_cache(cache, layer)
+    b = k.shape[0]
+    bidx = jnp.arange(b)
+    kc = cache.k.at[layer, bidx, :, positions, :].set(_quant_kv(k, lc))
+    vc = cache.v.at[layer, bidx, :, positions, :].set(_quant_kv(v, lc))
+    return KVCache(kc, vc, cache.scale)
+
+
+def decode_attention_at(q, cache: KVCache, layer, cache_lens,
+                        scale: Optional[float] = None):
+    """Single-token attention against layer `layer` of a stacked cache."""
+    return decode_attention(q, _layer_cache(cache, layer), cache_lens, scale)
 
 
 def _gqa_repeat(x, n_rep: int):

@@ -30,7 +30,8 @@ from ..quantization.tensors import (
 
 # Kernel dispatch: when True and running on TPU, hot paths call Pallas kernels
 # registered here by ops.pallas at import time (set via enable_pallas_kernels).
-_PALLAS = {"enabled": False, "woq_matmul": None, "w8a8_matmul": None}
+_PALLAS = {"enabled": False, "woq_matmul": None, "woq_matmul_stacked": None,
+           "w8a8_matmul": None}
 
 
 def enable_pallas_kernels(enabled: bool = True):
@@ -40,11 +41,33 @@ def enable_pallas_kernels(enabled: bool = True):
     _PALLAS["enabled"] = enabled
 
 
-def dense(x, w, out_dtype=None):
+def _index_layer(w, layer):
+    """Select layer `layer` from a stacked ([L, ...]) weight container."""
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+    if isinstance(w, WOQWeight):
+        return WOQWeight(idx(w.qweight), idx(w.scale), w.w_bits,
+                         w.group_size, w.pack_block)
+    if isinstance(w, SQWeight):
+        return SQWeight(idx(w.qweight), idx(w.scale_w), idx(w.scale_x),
+                        idx(w.scale_y), w.per_channel, w.per_token)
+    return idx(w)
+
+
+def dense(x, w, out_dtype=None, layer=None):
     """y = x @ w for any supported weight container.
 
-    x: [..., K]; w: jnp array [K, N] | WOQWeight | SQWeight. Returns [..., N].
+    x: [..., K]; w: jnp array [K, N] | WOQWeight | SQWeight; returns [..., N].
+    With `layer` given, w is stacked [L, ...] and layer selects the slice —
+    XLA fuses the dynamic-slice into its matmul read, and the Pallas kernels
+    take the stacked array + index directly (scalar prefetch) so the sliced
+    weight is never materialized.
     """
+    if layer is not None:
+        if (isinstance(w, WOQWeight)
+                and _PALLAS["enabled"] and _PALLAS["woq_matmul_stacked"]):
+            out_dtype = out_dtype or x.dtype
+            return _PALLAS["woq_matmul_stacked"](x, w, layer).astype(out_dtype)
+        w = _index_layer(w, layer)
     if isinstance(w, WOQWeight):
         return _dense_woq(x, w, out_dtype)
     if isinstance(w, SQWeight):

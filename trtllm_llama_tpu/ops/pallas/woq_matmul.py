@@ -50,34 +50,44 @@ def _unpack_block(packed_block):
 
 
 def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
-                 k, compute_dtype):
+                 k, compute_dtype, lead=False):
     """INT4: statically unrolled loop over pack blocks; each block unpacks
     2D and (for grouped mode, where group_size == pack_block) applies its
-    scale row before the dot."""
+    scale row before the dot. `lead`: refs carry a leading unit (layer) dim
+    (stacked variant) — indexed in one combined op, which Mosaic legalizes
+    where chained sub-ref views do not."""
+    W = ((lambda a, b: w_ref[0, a:b, :]) if lead
+         else (lambda a, b: w_ref[a:b, :]))
+    S = ((lambda a, b: s_ref[0, a:b, :]) if lead
+         else (lambda a, b: s_ref[a:b, :]))
     pb = pack_block
     acc = None
     for i in range(k // pb):
-        q = _unpack_block(w_ref[i * pb // 2:(i + 1) * pb // 2, :])
+        q = _unpack_block(W(i * pb // 2, (i + 1) * pb // 2))
         if group_size:
-            q = q.astype(jnp.float32) * s_ref[i:i + 1, :]
+            q = q.astype(jnp.float32) * S(i, i + 1)
         w_c = q.astype(compute_dtype)
         x_c = x_ref[:, i * pb:(i + 1) * pb].astype(compute_dtype)
         part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
     if not group_size:
-        acc = acc * s_ref[:].astype(jnp.float32)
+        acc = acc * S(0, 1).astype(jnp.float32)
     o_ref[:] = acc
 
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
-                 compute_dtype):
+                 compute_dtype, lead=False):
+    W = ((lambda a, b: w_ref[0, a:b, :]) if lead
+         else (lambda a, b: w_ref[a:b, :]))
+    S = ((lambda a, b: s_ref[0, a:b, :]) if lead
+         else (lambda a, b: s_ref[a:b, :]))
     acc = None
     for c in range(n_chunks):
-        qc = w_ref[c * ck:(c + 1) * ck, :]
+        qc = W(c * ck, (c + 1) * ck)
         x_c = x_ref[:, c * ck:(c + 1) * ck].astype(compute_dtype)
         if group_size:
             rows = ck // group_size
-            sc = s_ref[c * rows:(c + 1) * rows, :]          # static slice
+            sc = S(c * rows, (c + 1) * rows)                # static slice
             qf = qc.reshape(rows, group_size, -1).astype(jnp.float32)
             w_c = (qf * sc[:, None, :]).reshape(ck, -1).astype(compute_dtype)
         else:
@@ -85,7 +95,7 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
         part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
     if not group_size:
-        acc = acc * s_ref[:].astype(jnp.float32)
+        acc = acc * S(0, 1).astype(jnp.float32)
     o_ref[:] = acc
 
 
@@ -175,4 +185,118 @@ def woq_matmul(x, w: WOQWeight, interpret=False):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     out = woq_matmul_2d(x2, w, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Stacked variant: weights [L, K(/2), N], layer chosen by a scalar-prefetch
+# index. Used inside the model's lax.scan over layers — the kernel DMAs its
+# panels straight out of the stacked HBM array, so the per-layer slice is
+# never materialized (a plain pallas operand would force an HBM round-trip
+# copy of the whole layer weight per scan step).
+# ---------------------------------------------------------------------------
+
+def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
+                    pack_block, group_size, k, ck, n_chunks, compute_dtype):
+    del idx_ref  # consumed by the index_maps
+    if w_bits == 4:
+        _kernel_int4(x_ref, w_ref, s_ref, o_ref,
+                     pack_block=pack_block, group_size=group_size, k=k,
+                     compute_dtype=compute_dtype, lead=True)
+    else:
+        _kernel_int8(x_ref, w_ref, s_ref, o_ref,
+                     group_size=group_size, ck=ck, n_chunks=n_chunks,
+                     compute_dtype=compute_dtype, lead=True)
+
+
+def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
+                          compute_dtype=jnp.bfloat16, interpret=False):
+    """x: [M, K]; w.qweight: [L, K(/2), N]; layer: int32 scalar -> [M, N]."""
+    m, k_x = x.shape
+    l = w.qweight.shape[0]
+    k = w.k_dim
+    n = w.qweight.shape[-1]
+    assert k_x == k, (k_x, k)
+    w_bytes_per_el = 0.5 if w.w_bits == 4 else 1
+
+    pad_m = (-m) % 8
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    m_p = m + pad_m
+
+    bm = bm or min(256, m_p)
+    if m_p % bm:
+        bm = _pick_tile(m_p, (128, 64, 32, 16, 8))
+    if bn is None:
+        budget = 8 * 1024 * 1024
+        for cand in (2048, 1024, 512, 256, 128):
+            if n % cand == 0 and 2 * k * cand * w_bytes_per_el <= budget:
+                bn = cand
+                break
+        else:
+            bn = _pick_tile(n, (256, 128))
+    ck = _pick_tile(k, (512, 256, 128, 64, 32, 16, 8))
+    gs = w.group_size
+    if w.w_bits == 4 and gs:
+        assert gs == w.pack_block, (gs, w.pack_block)
+
+    n_m, n_n, n_chunks = m_p // bm, n // bn, k // ck
+    pack_div = 2 if w.w_bits == 4 else 1
+
+    def _sel(s):
+        # scalar-prefetch operand arrives as shape-(1,) ref when compiled,
+        # 0-d scalar in interpret mode
+        return s[0] if getattr(s, "ndim", 0) else s
+
+    if gs:
+        scale = w.scale                                 # [L, K//gs, N]
+        s_spec = pl.BlockSpec((1, k // gs, bn),
+                              lambda i, j, s: (_sel(s), 0, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        scale = w.scale.reshape(l, 1, n)                # [L, 1, N]
+        s_spec = pl.BlockSpec((1, 1, bn), lambda i, j, s: (_sel(s), 0, j),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel_stacked, w_bits=w.w_bits, pack_block=w.pack_block,
+        group_size=gs, k=k, ck=ck, n_chunks=n_chunks,
+        compute_dtype=compute_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_n),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k // pack_div, bn),
+                         lambda i, j, s: (_sel(s), 0, j),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n * k,
+            bytes_accessed=int(k * n * w_bytes_per_el
+                               + m_p * k * 2 + m_p * n * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w.qweight, scale)
+    return out[:m] if pad_m else out
+
+
+def woq_matmul_stacked(x, w: WOQWeight, layer, interpret=False):
+    """Batched entry: x [..., K], stacked w [L, ...] -> [..., N] f32."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = woq_matmul_stacked_2d(x2, w, layer, interpret=interpret)
     return out.reshape(*lead, out.shape[-1])
