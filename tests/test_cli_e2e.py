@@ -1,0 +1,89 @@
+"""End-to-end CLI tests: convert_checkpoint.py -> run.py -> summarize.py.
+
+Reference analogue: the gpt example's end-to-end script test
+(tests/model/test_gpt_e2e.py spawns build+run scripts).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    """A real on-disk HF checkpoint + trained-from-scratch BPE tokenizer."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import (LlamaConfig, LlamaForCausalLM,
+                              PreTrainedTokenizerFast)
+
+    d = tmp_path_factory.mktemp("ckpt")
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, max_position_embeddings=256)
+    LlamaForCausalLM(cfg).save_pretrained(d)
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.BpeTrainer(
+        vocab_size=256, special_tokens=["<unk>", "<s>", "</s>"])
+    corpus = ["the quick brown fox jumps over the lazy dog",
+              "news article summary test text data model"] * 20
+    tok.train_from_iterator(corpus, trainer)
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                                   bos_token="<s>", eos_token="</s>",
+                                   pad_token="<unk>")
+    fast.save_pretrained(d)
+    return str(d)
+
+
+def run_cli(script, *args, timeout=300):
+    env = dict(os.environ, TLLM_FORCE_CPU="1")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+    assert res.returncode == 0, f"{script} failed:\n{res.stdout}\n{res.stderr}"
+    return res.stdout
+
+
+def test_convert_run_summarize(tiny_ckpt, tmp_path):
+    eng = str(tmp_path / "engine")
+    out = run_cli("convert_checkpoint.py", "--model_dir", tiny_ckpt,
+                  "--output_dir", eng, "--use_weight_only",
+                  "--weight_bits", "8", "--dtype", "float32")
+    assert "engine written" in out
+
+    out = run_cli("run.py", "--engine_dir", eng, "--tokenizer_dir", tiny_ckpt,
+                  "--input_text", "the quick brown fox",
+                  "--max_output_len", "8", "--max_input_len", "16")
+    assert "Output:" in out
+
+    data = str(tmp_path / "data.jsonl")
+    with open(data, "w") as f:
+        for _ in range(2):
+            f.write(json.dumps({
+                "article": "the quick brown fox jumps over the lazy dog "
+                           "news article text data",
+                "highlights": "fox jumps over dog"}) + "\n")
+    out = run_cli("summarize.py", "--engine_dir", eng,
+                  "--tokenizer_dir", tiny_ckpt, "--data_file", data,
+                  "--max_ite", "2", "--max_input_len", "32",
+                  "--output_len", "8")
+    assert "rouge1" in out and "tokens/s" in out
+
+
+def test_benchmark_cli(tiny_ckpt, tmp_path):
+    eng = str(tmp_path / "engine")
+    run_cli("convert_checkpoint.py", "--model_dir", tiny_ckpt,
+            "--output_dir", eng, "--dtype", "float32")
+    out = run_cli("benchmark.py", "--engine_dir", eng,
+                  "--batch_sizes", "1,2", "--input_lens", "8",
+                  "--output_len", "4", "--num_runs", "1")
+    rows = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert len(rows) == 2 and all(r["tokens_per_s"] > 0 for r in rows)

@@ -1,0 +1,89 @@
+"""Offline checkpoint converter: HF LLaMA -> quantized engine directory.
+
+The "real offline compiler" of the TPU engine — the analogue of the
+reference's hf_llama_convert.py (calibration + SmoothQuant + scale sets),
+weight.py / weight_quant.py (load + TP-shard + quantize), and the
+CUTLASS weight preprocessors (our pack layout is chosen in
+quantization.tensors.pack_int4). One entry point covers every QuantMode:
+
+    convert_hf_model(model, tokenizer, out_dir,
+                     quant_mode=QuantMode.use_weight_only(True),
+                     calib_texts=[...])
+
+Unlike the reference there is no per-rank artifact: sharding is a runtime
+NamedSharding decision, so one engine dir serves any mesh shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..quantization.calibrate import (
+    act_ranges_for_smoothquant, capture_activation_ranges,
+    kv_scales_from_ranges,
+)
+from ..quantization.mode import QuantMode
+from ..quantization.quantize import quantize_params
+from ..quantization.smoothquant import smooth_hf_state_dict
+from .hf import params_from_hf_state_dict
+from .serialize import save_engine
+
+
+def convert_hf_model(hf_model, tokenizer, out_dir: str,
+                     quant_mode: QuantMode = QuantMode.NONE,
+                     group_size: int = 0,
+                     dtype: str = "bfloat16",
+                     calib_texts: Optional[Iterable[str]] = None,
+                     calib_max_seq_len: int = 512,
+                     smoothquant_alpha: float = 0.5) -> ModelConfig:
+    """Convert a loaded transformers LlamaForCausalLM into an engine dir."""
+    cfg = ModelConfig.from_hf_config(hf_model.config, dtype=dtype,
+                                     quant_mode=quant_mode,
+                                     group_size=group_size)
+
+    needs_calib = (quant_mode.has_act_and_weight_quant()
+                   or quant_mode.has_int8_kv_cache())
+    ranges = None
+    if needs_calib:
+        if calib_texts is None:
+            raise ValueError(
+                "SmoothQuant / INT8-KV conversion requires calib_texts "
+                "(the reference uses the lambada set, "
+                "hf_llama_convert.py:282-304)")
+        ranges = capture_activation_ranges(
+            hf_model, tokenizer, calib_texts, max_seq_len=calib_max_seq_len)
+
+    sd = hf_model.state_dict()
+    act_ranges = None
+    if quant_mode.has_act_and_weight_quant():
+        sd, x_absmax = smooth_hf_state_dict(
+            sd, ranges, cfg.num_layers, alpha=smoothquant_alpha)
+        act_ranges = {k: v.max(axis=-1).astype(np.float32)
+                      for k, v in x_absmax.items()}
+
+    params = params_from_hf_state_dict(sd, cfg)
+    params = quantize_params(params, quant_mode, group_size,
+                             act_ranges=act_ranges)
+
+    kv_scales = None
+    if quant_mode.has_int8_kv_cache():
+        kv_scales = kv_scales_from_ranges(ranges)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_engine(out_dir, cfg, params, kv_scales)
+    return cfg
+
+
+def convert_hf_checkpoint(model_dir: str, out_dir: str, **kwargs):
+    """Load a HF checkpoint from disk and convert (CLI entry)."""
+    import torch
+    from transformers import AutoTokenizer, LlamaForCausalLM
+
+    model = LlamaForCausalLM.from_pretrained(
+        model_dir, torch_dtype=torch.float32, low_cpu_mem_usage=True)
+    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    return convert_hf_model(model, tokenizer, out_dir, **kwargs)

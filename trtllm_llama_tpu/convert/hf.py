@@ -19,12 +19,14 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 
 
-def _t(x):  # torch tensor -> numpy, transposed linear
-    return np.asarray(x.detach().to("cpu").float().numpy()).T
+def _n(x):  # torch tensor or ndarray -> numpy
+    if hasattr(x, "detach"):
+        return np.asarray(x.detach().to("cpu").float().numpy())
+    return np.asarray(x)
 
 
-def _n(x):
-    return np.asarray(x.detach().to("cpu").float().numpy())
+def _t(x):  # linear weight [out, in] -> matmul-ready [in, out]
+    return _n(x).T
 
 
 def params_from_hf_model(hf_model, cfg: ModelConfig, dtype=None):
