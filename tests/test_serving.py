@@ -1,0 +1,122 @@
+"""Continuous-batching scheduler + serving engine tests.
+
+Reference analogue: the batch manager the reference ships closed-source
+(GptManager); tested here open — correctness bar is "same tokens as the
+offline GenerationSession for each request".
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+from trtllm_llama_tpu.models import llama
+from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+from trtllm_llama_tpu.runtime.scheduler import RequestState, Scheduler
+from trtllm_llama_tpu.runtime.serving import ServingEngine
+from trtllm_llama_tpu.runtime.session import GenerationSession
+
+
+def test_scheduler_admission_and_lifecycle():
+    s = Scheduler(max_slots=2, max_seq_len=32)
+    r0 = s.submit([1, 2, 3], 4)
+    r1 = s.submit([4, 5], 4)
+    r2 = s.submit([6], 4)
+    admitted = s.admit()
+    assert [r.request_id for r in admitted] == [r0, r1]
+    assert s.num_queued == 1 and s.num_active == 2
+    # finish r0 by eos
+    assert s.record_token(r0, 9, eos_id=9)
+    assert s.num_active == 1
+    # r2 now admits into the freed slot
+    assert [r.request_id for r in s.admit()] == [r2]
+    # finish r1 by length
+    for t in range(4):
+        finished = s.record_token(r1, 10 + t, eos_id=-1)
+    assert finished and s.num_active == 1
+
+
+def test_scheduler_kv_capacity_blocks_admission():
+    s = Scheduler(max_slots=4, max_seq_len=64, kv_token_capacity=40)
+    s.submit([0] * 10, 10)   # 20 tokens
+    s.submit([0] * 10, 10)   # 20 tokens
+    s.submit([0] * 10, 10)   # would exceed 40
+    assert len(s.admit()) == 2
+    assert s.num_queued == 1
+
+
+def test_scheduler_cancel():
+    s = Scheduler(max_slots=1, max_seq_len=32)
+    r0 = s.submit([1], 2)
+    r1 = s.submit([2], 2)
+    s.admit()
+    s.cancel(r1)            # cancel while queued
+    s.cancel(r0)            # cancel while active
+    assert s.num_active == 0 and s.num_queued == 0
+    assert not s.has_work
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    ecfg = EngineConfig(max_batch_size=3, max_input_len=16, max_seq_len=32)
+    return cfg, params, ecfg
+
+
+def test_serving_matches_offline_session(tiny_setup):
+    """Every request served under continuous batching must produce exactly
+    the tokens the offline GenerationSession produces for it alone."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 9, 3, 7, 11)]
+    new_tokens = [6, 4, 8, 5, 3]
+
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3)
+    rids = [engine.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    done = engine.run_to_completion()
+    assert set(done) == set(rids)
+
+    offline = GenerationSession(cfg, params, ecfg)
+    for rid, p, n in zip(rids, prompts, new_tokens):
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=n)
+        got = done[rid].output_ids
+        assert got == ref.output_ids[0].tolist(), (rid, got, ref.output_ids)
+
+
+def test_serving_eos_stops_early(tiny_setup):
+    cfg, params, ecfg = tiny_setup
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 250, (6,)).tolist()
+    free = ServingEngine(cfg, params, ecfg,
+                         sampling=SamplingConfig(end_id=-1), decode_chunk=2)
+    rid = free.submit(prompt, 5)
+    out = free.run_to_completion()[rid].output_ids
+    eos = out[2]  # force an EOS at this token's *first* occurrence
+    stop = out.index(eos)
+    engine = ServingEngine(cfg, params, ecfg,
+                           sampling=SamplingConfig(end_id=eos),
+                           decode_chunk=2)
+    rid2 = engine.submit(prompt, 5)
+    fr = engine.run_to_completion()[rid2]
+    assert fr.finished_reason == "eos"
+    assert fr.output_ids == out[:stop + 1]
+
+
+def test_serving_streaming_arrivals(tiny_setup):
+    """Requests arriving mid-flight join the running batch."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(2)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=2)
+    p1 = rng.integers(3, 250, (4,)).tolist()
+    p2 = rng.integers(3, 250, (6,)).tolist()
+    r1 = engine.submit(p1, 6)
+    engine.step()                      # r1 in flight
+    r2 = engine.submit(p2, 4)          # arrives later
+    done = engine.run_to_completion()
+    offline = GenerationSession(cfg, params, ecfg)
+    for rid, p, n in [(r1, p1, 6), (r2, p2, 4)]:
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=n)
+        assert done[rid].output_ids == ref.output_ids[0].tolist()

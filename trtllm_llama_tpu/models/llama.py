@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, decode_attention_at, prefill_attention,
-    write_kv_decode_at, write_kv_prefill_at,
+    KVCache, fused_decode_attention_at, prefill_attention,
+    write_kv_prefill_at,
 )
 from ..ops.linear import dense, embedding_lookup
 from ..ops.norm import rms_norm
@@ -79,6 +79,7 @@ def init_caches(cfg: ModelConfig, batch: int, max_len: int,
     kv_scales: optional [L] calibrated int8-KV scales (converter output).
     """
     kv_dtype = jnp.int8 if cfg.quant_mode.has_int8_kv_cache() else cfg.jnp_dtype
+    max_len = -(-max_len // 8) * 8   # sublane-align for in-kernel KV writes
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if kv_scales is None:
         kv_scales = jnp.ones((cfg.num_layers,), jnp.float32)
@@ -107,8 +108,8 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     k = apply_rope(k, cos, sin)
     if decode:
         # q,k,v: [B, H, D]; cos/sin: [B, 1, d] broadcast over heads
-        caches = write_kv_decode_at(caches, layer, k, v, seq_lens)
-        attn = decode_attention_at(q, caches, layer, seq_lens + 1)
+        attn, caches = fused_decode_attention_at(
+            q, k, v, caches, layer, seq_lens)
     else:
         caches = write_kv_prefill_at(caches, layer, k, v)
         attn = prefill_attention(q, k, v, seq_lens)

@@ -114,9 +114,38 @@ def write_kv_decode_at(cache: KVCache, layer, k, v, positions) -> KVCache:
     return KVCache(kc, vc, cache.scale)
 
 
+def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
+                              positions, scale: Optional[float] = None):
+    """Decode step for layer `layer`: write k/v_new [B, H_kv, D] at
+    `positions` and attend. Returns (attn_out [B, H_q, D], cache).
+
+    Dispatches to the fused Pallas kernel (in-place aliased cache update —
+    reference mmha semantics); jnp fallback = scatter write + attention.
+    """
+    from .registry import KERNELS, kernel
+    k_fn = kernel("fused_decode_attention")
+    if k_fn is not None and KERNELS.get("use_decode_attn_kernel"):
+        out, kc, vc = k_fn(q, k_new, v_new, cache.k, cache.v, cache.scale,
+                           layer, positions, sm_scale=scale)
+        return out, KVCache(kc, vc, cache.scale)
+    cache = write_kv_decode_at(cache, layer, k_new, v_new, positions)
+    out = decode_attention(q, _layer_cache(cache, layer), positions + 1,
+                           scale)
+    return out, cache
+
+
 def decode_attention_at(q, cache: KVCache, layer, cache_lens,
                         scale: Optional[float] = None):
-    """Single-token attention against layer `layer` of a stacked cache."""
+    """Single-token attention against layer `layer` of a stacked cache.
+
+    Dispatches to the Pallas decode kernel (MMHA equivalent, inline int8-KV
+    dequant, no cache-slice materialization) when kernels are enabled.
+    """
+    from .registry import kernel
+    k_fn = kernel("decode_attention")
+    if k_fn is not None:
+        return k_fn(q, cache.k, cache.v, cache.scale, layer, cache_lens,
+                    sm_scale=scale)
     return decode_attention(q, _layer_cache(cache, layer), cache_lens, scale)
 
 
@@ -134,7 +163,13 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None):
 
     q: [B, S, H_q, D]; k, v: [B, S, H_kv, D]; seq_lens: optional [B] true
     lengths (positions >= len are masked out as keys). Returns [B, S, H_q, D].
+    Dispatches to the Pallas prefill kernel (FMHA-cubin equivalent) when
+    kernels are enabled and shapes are TPU-tileable.
     """
+    from .registry import kernel
+    k_fn = kernel("prefill_attention")
+    if k_fn is not None and q.shape[-1] % 128 == 0:
+        return k_fn(q, k, v, seq_lens, sm_scale=scale)
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     scale = scale if scale is not None else d ** -0.5

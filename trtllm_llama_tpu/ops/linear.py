@@ -28,17 +28,8 @@ from ..quantization.tensors import (
     SQWeight, WOQWeight, quantize_per_token, quantize_static, unpack_int4,
 )
 
-# Kernel dispatch: when True and running on TPU, hot paths call Pallas kernels
-# registered here by ops.pallas at import time (set via enable_pallas_kernels).
-_PALLAS = {"enabled": False, "woq_matmul": None, "woq_matmul_stacked": None,
-           "w8a8_matmul": None}
-
-
-def enable_pallas_kernels(enabled: bool = True):
-    if enabled:
-        from . import pallas as _p  # registers kernel impls
-        _p.register(_PALLAS)
-    _PALLAS["enabled"] = enabled
+from .registry import KERNELS as _PALLAS
+from .registry import enable_pallas_kernels  # noqa: F401 (re-export)
 
 
 def _index_layer(w, layer):

@@ -1,12 +1,18 @@
 """Pallas TPU kernels — the performance core of the engine.
 
 Each kernel has a jnp reference implementation in ops/ and interpret-mode
-tests in tests/. Registration is via ops.linear.enable_pallas_kernels().
+tests in tests/. Registration is via ops.registry.enable_pallas_kernels().
 """
 
+from .attention import (
+    decode_attention_kernel, fused_decode_attention, prefill_attention_kernel,
+)
 from .woq_matmul import woq_matmul, woq_matmul_stacked
 
 
 def register(registry: dict):
     registry["woq_matmul"] = woq_matmul
     registry["woq_matmul_stacked"] = woq_matmul_stacked
+    registry["decode_attention"] = decode_attention_kernel
+    registry["fused_decode_attention"] = fused_decode_attention
+    registry["prefill_attention"] = prefill_attention_kernel

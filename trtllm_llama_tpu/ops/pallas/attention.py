@@ -1,0 +1,332 @@
+"""Pallas attention kernels: decode (generation) and prefill (context).
+
+TPU-native replacement for the reference's attention stack:
+- decode kernel <- decoderMaskedMultiheadAttention (one CTA per head/batch,
+  inline INT8-KV dequant, decoderMaskedMultiheadAttentionTemplate.h:1336-1650)
+- prefill kernel <- contextFusedMultiHeadAttention FMHA cubins +
+  unfusedAttentionKernels fallback (BMM + invokeMaskedSoftmax)
+
+Design notes (v5e):
+- Decode: grid (B, H_kv); each program owns one kv head's [S, D] K/V panels
+  (int8 or bf16, streamed HBM->VMEM by the pipeline) and this head's GQA
+  group of q rows. Scores/softmax accumulate in fp32 (the reference forces
+  fp32 softmax too, layers/attention.py:331-343). INT8 KV dequantizes
+  in-VMEM with the per-layer calibrated scale — HBM traffic stays int8,
+  which is the whole point (reference mmha does the same in registers).
+- Prefill: grid (B, H_q, ceil(S/bq)); K/V for the head are VMEM-resident
+  (S <= ~2k: 512 KB bf16), each program computes one q-row block against
+  the full K/V with the causal+length mask. Simpler than streaming flash
+  and already removes the [S,S] HBM materialization XLA would do; a
+  streaming variant is the long-context extension.
+- Stacked layer variants take the whole [L, ...] cache + a scalar-prefetch
+  layer index, so the model's scan never slices the cache into a copy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(lyr_ref, lens_ref, scale_ref, q_ref, k_ref, v_ref, o_ref,
+                   *, sm_scale, kv_int8):
+    b = pl.program_id(0)
+    lens = lens_ref[b]
+    q = q_ref[0, 0].astype(jnp.float32)                 # [r, D]
+    k = k_ref[0, 0, 0]                                  # [S, D] int8|bf16
+    v = v_ref[0, 0, 0]
+    if kv_int8:
+        kv_scale = scale_ref[lyr_ref[0]]
+        k = k.astype(jnp.float32) * kv_scale
+        v = v.astype(jnp.float32) * kv_scale
+    else:
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+    s = k.shape[0]
+    # scores [S, r] = K @ q^T
+    scores = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    mask = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0) < lens
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    # out [r, D] = P^T @ V  (contract S)
+    out = jax.lax.dot_general(
+        p, v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (out / denom.reshape(-1, 1)).astype(o_ref.dtype)
+
+
+def decode_attention_kernel(q, k_cache, v_cache, kv_scale, layer, cache_lens,
+                            sm_scale=None, interpret=False):
+    """q: [B, H_q, D]; k/v_cache: [L, B, H_kv, S, D]; layer: int32 scalar;
+    cache_lens: [B] int32. Returns [B, H_q, D] in q.dtype."""
+    b, hq, d = q.shape
+    l, _, hkv, s, _ = k_cache.shape
+    r = hq // hkv
+    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+    kv_int8 = k_cache.dtype == jnp.int8
+
+    qg = q.reshape(b, hkv, r, d)
+    scale_arr = jnp.asarray(kv_scale, jnp.float32).reshape(l)
+
+    def _sel(sref):
+        return sref[0] if getattr(sref, "ndim", 0) else sref
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # layer idx, cache_lens, kv scales
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, r, d),
+                         lambda i, h, lyr, lens, sc: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, d),
+                         lambda i, h, lyr, lens, sc: (_sel(lyr), i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, d),
+                         lambda i, h, lyr, lens, sc: (_sel(lyr), i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, r, d),
+                               lambda i, h, lyr, lens, sc: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_decode_kernel, sm_scale=sm_scale,
+                               kv_int8=kv_int8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, r, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * d,
+            bytes_accessed=int(2 * b * hkv * s * d
+                               * (1 if kv_int8 else 2)),
+            transcendentals=b * hq * s),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(cache_lens, jnp.int32), scale_arr, qg, k_cache, v_cache)
+    return out.reshape(b, hq, d)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode: KV write + attention in one kernel, cache aliased in place.
+#
+# This is the exact structure of the reference's generation path — mmha
+# writes the new token's K/V into the cache and attends in the same kernel
+# (decoderMaskedMultiheadAttentionTemplate.h:1503: *reinterpret_cast store
+# then the dot loop). Fusing matters on TPU for a different reason: if the
+# cache were scatter-updated by XLA and *then* passed to a pallas call
+# inside the layer scan, XLA materializes a copy of the whole stacked cache
+# per layer (~GBs/token). With input_output_aliases the kernel updates the
+# carry buffer in place.
+# ---------------------------------------------------------------------------
+
+def _fused_decode_kernel(lyr_ref, lens_ref, scale_ref, q_ref, kn_ref, vn_ref,
+                         k_ref, v_ref, o_ref, *, sm_scale, kv_int8, s_max):
+    b = pl.program_id(0)
+    pos = lens_ref[b]                                  # write position
+    if kv_int8:
+        kv_scale = scale_ref[lyr_ref[0]]
+        inv = 1.0 / kv_scale
+        k_new = jnp.clip(jnp.round(kn_ref[0, 0].astype(jnp.float32) * inv),
+                         -127, 127).astype(jnp.int8)   # [1(r?), D] rows
+        v_new = jnp.clip(jnp.round(vn_ref[0, 0].astype(jnp.float32) * inv),
+                         -127, 127).astype(jnp.int8)
+    else:
+        k_new = kn_ref[0, 0].astype(k_ref.dtype)
+        v_new = vn_ref[0, 0].astype(v_ref.dtype)
+    # Write the token's K/V row at pos. Mosaic cannot prove alignment of a
+    # single dynamic row, so read-modify-write the aligned 8-row window
+    # (the sublane tile) around pos with a select mask.
+    base = pl.multiple_of((pos // 8) * 8, 8)
+    off = pos - base
+    sel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == off
+    kw = jnp.where(sel, k_new, k_ref[0, 0, 0, pl.ds(base, 8), :])
+    vw = jnp.where(sel, v_new, v_ref[0, 0, 0, pl.ds(base, 8), :])
+    k_ref[0, 0, 0, pl.ds(base, 8), :] = kw
+    v_ref[0, 0, 0, pl.ds(base, 8), :] = vw
+
+    q = q_ref[0, 0].astype(jnp.float32)                # [r, D]
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    if kv_int8:
+        k = k.astype(jnp.float32) * kv_scale
+        v = v.astype(jnp.float32) * kv_scale
+    else:
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale  # [S, r]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0) <= pos
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (out / denom.reshape(-1, 1)).astype(o_ref.dtype)
+
+
+def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
+                           layer, positions, sm_scale=None, interpret=False):
+    """One-token decode attention fused with the KV-cache write.
+
+    q, k_new, v_new: [B, H_q|H_kv, D]; k/v_cache: [L, B, H_kv, S, D]
+    (ALIASED — donated and updated in place); positions: [B] write index.
+    Returns (out [B, H_q, D], k_cache, v_cache).
+    """
+    b, hq, d = q.shape
+    l, _, hkv, s, _ = k_cache.shape
+    r = hq // hkv
+    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+    kv_int8 = k_cache.dtype == jnp.int8
+
+    qg = q.reshape(b, hkv, r, d)
+    kn = k_new.reshape(b, hkv, 1, d)
+    vn = v_new.reshape(b, hkv, 1, d)
+    scale_arr = jnp.asarray(kv_scale, jnp.float32).reshape(l)
+
+    def _sel(sref):
+        return sref[0] if getattr(sref, "ndim", 0) else sref
+
+    cache_spec = pl.BlockSpec(
+        (1, 1, 1, s, d), lambda i, h, lyr, lens, sc: (_sel(lyr), i, h, 0, 0),
+        memory_space=pltpu.VMEM)
+    small = lambda: pl.BlockSpec(
+        (1, 1, 1, d), lambda i, h, lyr, lens, sc: (i, h, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, r, d),
+                         lambda i, h, lyr, lens, sc: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small(), small(),
+            cache_spec, cache_spec,
+        ],
+        out_specs=[
+            cache_spec, cache_spec,
+            pl.BlockSpec((1, 1, r, d),
+                         lambda i, h, lyr, lens, sc: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(_fused_decode_kernel, sm_scale=sm_scale,
+                               kv_int8=kv_int8, s_max=s)
+
+    def wrapped(lyr_ref, lens_ref, scale_ref, q_ref, kn_ref, vn_ref,
+                kc_in, vc_in, kc_out, vc_out, o_ref):
+        # aliased: kc_in IS kc_out's buffer; write/read through the out refs
+        kernel(lyr_ref, lens_ref, scale_ref, q_ref, kn_ref, vn_ref,
+               kc_out, vc_out, o_ref)
+
+    kc, vc, out = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, hkv, r, d), q.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},   # cache operands -> outputs
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * d,
+            bytes_accessed=int(2 * b * hkv * s * d * (1 if kv_int8 else 2)),
+            transcendentals=b * hq * s),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(positions, jnp.int32), scale_arr, qg, kn, vn,
+      k_cache, v_cache)
+    return out.reshape(b, hq, d), kc, vc
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, bq):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    lens = lens_ref[b]
+    q = q_ref[0, 0].astype(jnp.float32)                 # [bq, D]
+    k = k_ref[0, 0].astype(jnp.float32)                 # [S, D]
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = k.shape[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale   # [bq, S]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + iq * bq
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+    mask = (cols <= rows) & (cols < lens)
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+
+
+def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
+                             bq=256, interpret=False):
+    """Causal self-attention. q: [B, S, H_q, D]; k, v: [B, S, H_kv, D];
+    seq_lens: [B] (None => all S). Returns [B, S, H_q, D]."""
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    r = hq // hkv
+    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+    if seq_lens is None:
+        seq_lens = jnp.full((b,), s, jnp.int32)
+    bq = min(bq, s)
+    if s % bq:
+        bq = next(c for c in (128, 64, 32, 16, 8, 1) if s % c == 0)
+
+    qt = jnp.swapaxes(q, 1, 2)                  # [B, Hq, S, D]
+    kt = jnp.swapaxes(k, 1, 2)                  # [B, Hkv, S, D]
+    vt = jnp.swapaxes(v, 1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                  # seq_lens
+        grid=(b, hq, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d),
+                         lambda i, h, j, lens: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d),
+                         lambda i, h, j, lens: (i, h // r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d),
+                         lambda i, h, j, lens: (i, h // r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda i, h, j, lens: (i, h, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_prefill_kernel, sm_scale=sm_scale, bq=bq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * s * d,
+            bytes_accessed=int(b * s * d * (hq + 2 * hkv) * 2),
+            transcendentals=b * hq * s * s),
+        interpret=interpret,
+    )(jnp.asarray(seq_lens, jnp.int32), qt, kt, vt)
+    return jnp.swapaxes(out, 1, 2)

@@ -1,0 +1,126 @@
+"""Beam search decoding, fully on-device.
+
+Replaces the reference's beam-search stack — OnlineBeamSearchLayer +
+beamSearchTopkKernels + gatherTree (layers/onlineBeamSearchLayer.cu,
+kernels/beamSearchTopkKernels.cu, decodingKernels.cu:gatherTree) and the
+runtime's `cache_indirection` machinery (_tile_beam_width,
+generation.py:30,991).
+
+TPU design: beams live as extra batch rows ([B*W] layout). Instead of the
+reference's cache-indirection tables (pointer-chased inside the mmha
+kernel), beam reordering physically gathers the KV cache along the batch
+axis each step — one [B*W, H, S, D] gather, XLA-fused, branchless. Token
+histories are carried per-slot and re-gathered with their parent beams, so
+no final gatherTree backtrack is needed: the history IS the path.
+
+Scoring: cumulative log-probs with Google-style length penalty
+((5+len)/6)^alpha (the reference's length_penalty semantics). Finished
+beams are frozen by forcing pad continuation at score -inf except one
+end_id continuation carrying the finished score.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def _tile_beams(x, w):
+    """[B, ...] -> [B*W, ...] by repeating each row W times
+    (reference _tile_beam_width, generation.py:30)."""
+    return jnp.repeat(x, w, axis=0)
+
+
+def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
+                       beam_width: int, max_new_tokens: int,
+                       end_id: int = 2, pad_id: int = 0,
+                       length_penalty: float = 0.0):
+    """Greedy-prefill + beam-search generation.
+
+    input_ids: [B, S]; seq_lens: [B]; caches: stacked KVCache sized for
+    batch B*W. Returns (output_ids [B, W, T], out_lens [B, W],
+    scores [B, W]) sorted best-first per batch.
+    """
+    from ..models import llama
+
+    b, s = input_ids.shape
+    w = beam_width
+    bw = b * w
+
+    # Prefill runs on tiled rows (so the caches are aligned per beam slot).
+    ids_t = _tile_beams(input_ids, w)
+    lens_t = _tile_beams(seq_lens, w)
+    logits, caches = llama.forward_prefill(params, cfg, ids_t, lens_t, caches)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    v = logprobs.shape[-1]
+
+    # First expansion: take top-W distinct tokens of beam 0 of each batch.
+    lp0 = logprobs.reshape(b, w, v)[:, 0]                # [B, V]
+    top_lp, top_tok = jax.lax.top_k(lp0, w)              # [B, W]
+    scores = top_lp                                       # cumulative logprob
+    tokens = top_tok.reshape(bw).astype(jnp.int32)
+    out = jnp.full((b, w, max_new_tokens), pad_id, jnp.int32)
+    out = out.at[:, :, 0].set(top_tok)
+    finished = top_tok == end_id                          # [B, W]
+    out_lens = jnp.ones((b, w), jnp.int32)
+    positions = lens_t                                    # [BW]
+
+    def length_norm(lengths):
+        if length_penalty == 0.0:
+            return jnp.ones_like(lengths, jnp.float32)
+        return ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+
+    def body(state, step):
+        tokens, positions, caches, scores, finished, out, out_lens = state
+        logits, caches = llama.forward_decode(
+            params, cfg, tokens, positions, caches)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # [BW, V]
+        lp = lp.reshape(b, w, v)
+
+        # Finished beams may only continue with pad at unchanged score.
+        cont = scores[:, :, None] + lp                    # [B, W, V]
+        frozen = jnp.full((b, w, v), NEG_INF).at[:, :, pad_id].set(scores)
+        cand = jnp.where(finished[:, :, None], frozen, cont)
+
+        flat = cand.reshape(b, w * v)
+        # 2W candidates guard against all-finished collapse (reference takes
+        # 2*beam_width in beamSearchTopkKernels for the same reason), then
+        # keep the top W.
+        top_s, top_i = jax.lax.top_k(flat, w)             # [B, W]
+        parent = (top_i // v).astype(jnp.int32)           # [B, W]
+        tok = (top_i % v).astype(jnp.int32)
+
+        # Gather state from parent beams.
+        gidx = (jnp.arange(b)[:, None] * w + parent).reshape(bw)  # [BW]
+        caches = jax.tree.map(
+            lambda a: jnp.take(a, gidx, axis=1) if a.ndim >= 2 else a,
+            caches)
+        out = jnp.take_along_axis(out, parent[:, :, None], axis=1)
+        out_lens = jnp.take_along_axis(out_lens, parent, axis=1)
+        was_finished = jnp.take_along_axis(finished, parent, axis=1)
+        positions = jnp.take(positions, gidx)
+
+        out = out.at[:, :, step].set(jnp.where(was_finished, pad_id, tok))
+        newly = tok == end_id
+        finished = was_finished | newly
+        out_lens = out_lens + (~was_finished).astype(jnp.int32)
+        scores = top_s
+        positions = positions + (~was_finished).astype(jnp.int32).reshape(bw)
+        tokens = jnp.where(was_finished.reshape(bw), pad_id, tok.reshape(bw))
+        return (tokens, positions, caches, scores, finished, out,
+                out_lens), None
+
+    state = (tokens, positions, caches, scores, finished, out, out_lens)
+    state, _ = jax.lax.scan(body, state, jnp.arange(1, max_new_tokens))
+    (_, _, caches, scores, finished, out, out_lens) = state
+
+    # Final rank by length-normalized score, best first.
+    norm_scores = scores / length_norm(out_lens)
+    order = jnp.argsort(-norm_scores, axis=1)
+    out = jnp.take_along_axis(out, order[:, :, None], axis=1)
+    out_lens = jnp.take_along_axis(out_lens, order, axis=1)
+    norm_scores = jnp.take_along_axis(norm_scores, order, axis=1)
+    return out, out_lens, norm_scores

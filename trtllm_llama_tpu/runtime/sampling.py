@@ -35,6 +35,8 @@ class SamplingConfig:
     min_length: int = 0
     end_id: int = 2                  # LLaMA </s>
     pad_id: int = 0
+    beam_width: int = 1              # >1 => beam search (runtime/beam.py)
+    length_penalty: float = 0.0      # beam-search length normalization alpha
 
     @property
     def is_greedy(self) -> bool:

@@ -42,10 +42,16 @@ from .sampling import (
 
 @dataclasses.dataclass
 class GenerationOutput:
-    """output_ids: [B, max_new] (pad_id-filled after EOS); lengths: [B]."""
+    """output_ids: [B, max_new] (pad_id-filled after EOS); lengths: [B].
+
+    With beam_width > 1, beam_ids/beam_lengths/beam_scores hold all beams
+    [B, W, T]/[B, W] best-first and output_ids/lengths are the best beam."""
 
     output_ids: np.ndarray
     lengths: np.ndarray
+    beam_ids: np.ndarray = None
+    beam_lengths: np.ndarray = None
+    beam_scores: np.ndarray = None
 
 
 class GenerationSession:
@@ -177,12 +183,41 @@ class GenerationSession:
         padded[:, :s] = input_ids
         max_len = min(self.engine_cfg.max_seq_len, bucket + max_new_tokens)
 
+        if scfg.beam_width > 1:
+            return self._generate_beam(padded, seq_lens, scfg,
+                                       max_new_tokens, max_len)
+
         caches = self.make_caches(b, max_len)
         fn = self._get_fn(bucket, max_len, max_new_tokens, scfg)
         out, lengths, _ = fn(self.params, jnp.asarray(padded),
                              jnp.asarray(seq_lens, jnp.int32), caches,
                              jax.random.PRNGKey(seed))
         return GenerationOutput(np.asarray(out), np.asarray(lengths))
+
+    def _generate_beam(self, padded, seq_lens, scfg: SamplingConfig,
+                       max_new: int, max_len: int) -> GenerationOutput:
+        from .beam import beam_search_decode
+
+        b = padded.shape[0]
+        key = ("beam", padded.shape[1], max_len, max_new, scfg)
+        if key not in self._fn_cache:
+            cfg = self.cfg
+
+            def fn(params, input_ids, seq_lens, caches):
+                return beam_search_decode(
+                    params, cfg, input_ids, seq_lens, caches,
+                    beam_width=scfg.beam_width, max_new_tokens=max_new,
+                    end_id=scfg.end_id, pad_id=scfg.pad_id,
+                    length_penalty=scfg.length_penalty)
+
+            self._fn_cache[key] = jax.jit(fn, donate_argnums=(3,))
+        caches = self.make_caches(b * scfg.beam_width, max_len)
+        out, lens, scores = self._fn_cache[key](
+            self.params, jnp.asarray(padded),
+            jnp.asarray(seq_lens, jnp.int32), caches)
+        out, lens, scores = (np.asarray(out), np.asarray(lens),
+                             np.asarray(scores))
+        return GenerationOutput(out[:, 0], lens[:, 0], out, lens, scores)
 
     def warmup(self, batch: int, bucket: int, max_new: int,
                sampling: Optional[SamplingConfig] = None):
