@@ -36,6 +36,7 @@ from ..ops.attention import (
 from ..ops.linear import dense, embedding_lookup
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope, rope_table, take_rope
+from ..utils.debugging import debug_output
 
 # Layer param keys (each stacked [L, ...]):
 #   attn_norm, wq, wk, wv, wo, mlp_norm, w_gate, w_up, w_down
@@ -114,6 +115,7 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
         caches = write_kv_prefill_at(caches, layer, k, v)
         attn = prefill_attention(q, k, v, seq_lens)
     attn = attn.reshape(*attn.shape[:-2], cfg.num_heads * cfg.head_dim)
+    debug_output("attention_output", attn)
     return x + dense(attn, lw["wo"], layer=layer), caches
 
 
@@ -123,8 +125,10 @@ def _mlp_block(cfg: ModelConfig, lw, layer, x):
     # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
     g = dense(h, lw["w_gate"], layer=layer)
     u = dense(h, lw["w_up"], layer=layer)
-    return x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                     lw["w_down"], layer=layer)
+    out = x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                    lw["w_down"], layer=layer)
+    debug_output("decoder_layer_output", out)
+    return out
 
 
 def _run_layers(cfg: ModelConfig, params: Params, x, cos, sin, caches,
