@@ -30,6 +30,15 @@ _BASELINE_TOKS_PER_S = {
     "sq": 50 / 0.78494,      # reference SQ never built; use INT8 row
 }
 
+# A10 reference Task-A totals: 20 articles x 100 tokens, in<=923 (BASELINE.md)
+_BASELINE_TASK_A_TOKS_PER_S = {
+    "fp16": 2000 / 66.031,   # -> 30.29
+    "int8": 2000 / 40.297,   # -> 49.63
+    "int4": 2000 / 28.596,   # -> 69.94
+    "int8kv": 2000 / 66.319, # -> 30.16
+    "sq": 2000 / 40.297,
+}
+
 
 def build_engine(config_name: str, batch: int, max_len: int):
     from trtllm_llama_tpu.config import EngineConfig, ModelConfig
@@ -83,7 +92,11 @@ def main():
     dt = (time.perf_counter() - t0) / n_runs
     toks_per_s = batch * out_len / dt
 
-    vs = toks_per_s / _BASELINE_TOKS_PER_S[config_name]
+    # long-input shapes compare against the reference's Task-A (summarize)
+    # rates, which include prefill the same way this measurement does
+    table = (_BASELINE_TASK_A_TOKS_PER_S if in_len >= 512
+             else _BASELINE_TOKS_PER_S)
+    vs = toks_per_s / table[config_name]
     print(json.dumps({
         "metric": f"tokens/sec/chip (LLaMA-7B {config_name}, "
                   f"bs{batch} in{in_len} out{out_len})",

@@ -22,6 +22,16 @@ def rms_norm(x, weight, eps: float = 1e-6):
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def layer_norm(x, weight, bias, eps: float = 1e-5):
+    """Standard LayerNorm (GPT-family models; reference layernormPlugin)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 def rms_norm_quant(x, weight, eps: float = 1e-6, smoother=None):
     """RMSNorm fused with dynamic per-token int8 quantization.
 

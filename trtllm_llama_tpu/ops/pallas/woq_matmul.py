@@ -52,10 +52,13 @@ def _unpack_block(packed_block):
 def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
                  k, compute_dtype, lead=False):
     """INT4: statically unrolled loop over pack blocks; each block unpacks
-    2D and (for grouped mode, where group_size == pack_block) applies its
-    scale row before the dot. `lead`: refs carry a leading unit (layer) dim
-    (stacked variant) — indexed in one combined op, which Mosaic legalizes
-    where chained sub-ref views do not."""
+    2D on the VPU and dots raw nibble values — grouped scales are applied to
+    the [bm, bn] dot *output* (scale is constant within a group, and the
+    output tile is ~group_size times smaller than the weight tile, so the
+    epilogue costs 1/group_size of the in-tile dequant the naive kernel
+    does). `lead`: refs carry a leading unit (layer) dim (stacked variant) —
+    indexed in one combined op, which Mosaic legalizes where chained
+    sub-ref views do not."""
     W = ((lambda a, b: w_ref[0, a:b, :]) if lead
          else (lambda a, b: w_ref[a:b, :]))
     S = ((lambda a, b: s_ref[0, a:b, :]) if lead
@@ -64,11 +67,11 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
     acc = None
     for i in range(k // pb):
         q = _unpack_block(W(i * pb // 2, (i + 1) * pb // 2))
-        if group_size:
-            q = q.astype(jnp.float32) * S(i, i + 1)
         w_c = q.astype(compute_dtype)
         x_c = x_ref[:, i * pb:(i + 1) * pb].astype(compute_dtype)
         part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        if group_size:
+            part = part * S(i, i + 1)      # post-dot grouped scale
         acc = part if acc is None else acc + part
     if not group_size:
         acc = acc * S(0, 1).astype(jnp.float32)
@@ -113,12 +116,17 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     m_p = m + pad_m
 
-    bm = bm or min(256, m_p)
+    if bm is None:
+        # x panels are double-buffered across m tiles: keep 2*bm*K*2B under
+        # ~4 MB (large-K prefill shapes would otherwise blow VMEM)
+        bm = next((c for c in (256, 128, 64, 32, 16, 8)
+                   if m_p % c == 0 and 2 * c * k * 2 <= 4 * 1024 * 1024),
+                  min(8, m_p))
     if m_p % bm:
         bm = _pick_tile(m_p, (128, 64, 32, 16, 8))
     if bn is None:
         # keep the double-buffered weight panel under ~8 MB of VMEM
-        budget = 8 * 1024 * 1024
+        budget = 6 * 1024 * 1024
         for cand in (2048, 1024, 512, 256, 128):
             if n % cand == 0 and 2 * k * cand * w_bytes_per_el <= budget:
                 bn = cand
@@ -224,11 +232,16 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     m_p = m + pad_m
 
-    bm = bm or min(256, m_p)
+    if bm is None:
+        # x panels are double-buffered across m tiles: keep 2*bm*K*2B under
+        # ~4 MB (large-K prefill shapes would otherwise blow VMEM)
+        bm = next((c for c in (256, 128, 64, 32, 16, 8)
+                   if m_p % c == 0 and 2 * c * k * 2 <= 4 * 1024 * 1024),
+                  min(8, m_p))
     if m_p % bm:
         bm = _pick_tile(m_p, (128, 64, 32, 16, 8))
     if bn is None:
-        budget = 8 * 1024 * 1024
+        budget = 6 * 1024 * 1024
         for cand in (2048, 1024, 512, 256, 128):
             if n % cand == 0 and 2 * k * cand * w_bytes_per_el <= budget:
                 bn = cand

@@ -1,0 +1,75 @@
+"""Multi-host execution: process bootstrap + pod-slice meshes.
+
+Replaces the reference's MPI/Slurm orchestration (mpi4py rank bootstrap
+_utils.py:181-192, NCCL unique-id broadcast allreducePlugin.cpp:126-160,
+Slurm launch examples/gpt/README.md:164-196) with the JAX-native flow:
+
+  1. every host calls `initialize()` (jax.distributed under the hood —
+     coordinator discovery via args or TPU pod metadata, no MPI),
+  2. builds the same global mesh with `pod_mesh()`: intra-host/slice chips
+     on the fast 'tp' (ICI) axis, hosts/slices on the 'dp' (DCN) axis,
+  3. runs the same SPMD jitted program; GSPMD keeps TP collectives on ICI
+     and only batch-parallel traffic crosses DCN.
+
+There is no rank-0 special casing for compute: all hosts trace and run the
+identical program. Host-side serving (runtime/serving.py) designates
+process_index 0 as the scheduler; slot assignments ride to other hosts as
+replicated scalars inside the jitted step inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from .mapping import Mapping
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None):
+    """Bootstrap the multi-host runtime. On TPU pods all arguments are
+    auto-discovered from the metadata server; set them explicitly for
+    CPU/GPU multi-process tests."""
+    if jax.process_count() > 1:
+        return                      # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process run (tests, one host): nothing to do
+        pass
+
+
+def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None) -> Mesh:
+    """Global mesh over all devices of all hosts.
+
+    Defaults: 'tp' spans the devices of one host/slice (ICI-connected),
+    'dp' spans hosts (DCN). Pass tp/dp to override (tp*dp must equal the
+    global device count; tp should divide the per-slice chip count so the
+    TP collectives never cross DCN).
+    """
+    n = jax.device_count()
+    local = max(jax.local_device_count(), 1)
+    tp = tp or local
+    dp = dp or n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != device_count {n}")
+    devices = np.array(jax.devices()).reshape(dp, tp)
+    return Mesh(devices, axis_names=("dp", "tp"))
+
+
+def pod_mapping(mesh: Mesh) -> Mapping:
+    return Mapping(dp=mesh.shape["dp"], tp=mesh.shape["tp"])
+
+
+def is_scheduler_host() -> bool:
+    """The serving layer's scheduler runs on process 0 (SPMD compute is
+    identical everywhere; only host-side request bookkeeping is pinned)."""
+    return jax.process_index() == 0

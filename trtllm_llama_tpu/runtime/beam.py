@@ -37,7 +37,7 @@ def _tile_beams(x, w):
 def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
                        beam_width: int, max_new_tokens: int,
                        end_id: int = 2, pad_id: int = 0,
-                       length_penalty: float = 0.0):
+                       length_penalty: float = 0.0, model=None):
     """Greedy-prefill + beam-search generation.
 
     input_ids: [B, S]; seq_lens: [B]; caches: stacked KVCache sized for
@@ -45,6 +45,7 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
     scores [B, W]) sorted best-first per batch.
     """
     from ..models import llama
+    model = model if model is not None else llama
 
     b, s = input_ids.shape
     w = beam_width
@@ -53,7 +54,7 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
     # Prefill runs on tiled rows (so the caches are aligned per beam slot).
     ids_t = _tile_beams(input_ids, w)
     lens_t = _tile_beams(seq_lens, w)
-    logits, caches = llama.forward_prefill(params, cfg, ids_t, lens_t, caches)
+    logits, caches = model.forward_prefill(params, cfg, ids_t, lens_t, caches)
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     v = logprobs.shape[-1]
 
@@ -75,7 +76,7 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
 
     def body(state, step):
         tokens, positions, caches, scores, finished, out, out_lens = state
-        logits, caches = llama.forward_decode(
+        logits, caches = model.forward_decode(
             params, cfg, tokens, positions, caches)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # [BW, V]
         lp = lp.reshape(b, w, v)

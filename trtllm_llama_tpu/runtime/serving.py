@@ -39,8 +39,9 @@ class FinishedRequest:
 class ServingEngine:
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  sampling: Optional[SamplingConfig] = None,
-                 kv_scales=None, decode_chunk: int = 8):
+                 kv_scales=None, decode_chunk: int = 8, model=None):
         self.cfg = cfg
+        self.model = model if model is not None else llama
         self.params = params
         self.engine_cfg = engine_cfg
         self.scfg = sampling or SamplingConfig()
@@ -48,7 +49,7 @@ class ServingEngine:
         self.max_slots = engine_cfg.max_batch_size
         self.scheduler = Scheduler(self.max_slots, engine_cfg.max_seq_len)
 
-        self.caches = llama.init_caches(cfg, self.max_slots,
+        self.caches = self.model.init_caches(cfg, self.max_slots,
                                         engine_cfg.max_seq_len, kv_scales)
         self._kv_scales = kv_scales
         # per-slot device state
@@ -59,12 +60,12 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def _prefill_fn(self, bucket: int):
-        cfg, scfg = self.cfg, self.scfg
+        cfg, scfg, model = self.cfg, self.scfg, self.model
 
         def fn(params, caches, ids, length, slot):
-            scratch = llama.init_caches(cfg, 1, bucket,
+            scratch = model.init_caches(cfg, 1, bucket,
                                         self._kv_scales)
-            logits, scratch = llama.forward_prefill(
+            logits, scratch = model.forward_prefill(
                 params, cfg, ids, length, scratch)
             token = sample_step(logits, scfg)
             # insert the slot row: [L, 1, H, bucket, D] into the big cache
@@ -78,14 +79,14 @@ class ServingEngine:
         return jax.jit(fn, donate_argnums=(1,))
 
     def _decode_fn(self, n_steps: int):
-        cfg, scfg = self.cfg, self.scfg
+        cfg, scfg, model = self.cfg, self.scfg, self.model
 
         def fn(params, caches, tokens, lens, active):
             out = jnp.zeros((self.max_slots, n_steps), jnp.int32)
 
             def body(i, state):
                 tokens, lens, caches, active, out = state
-                logits, caches = llama.forward_decode(
+                logits, caches = model.forward_decode(
                     params, cfg, tokens, lens, caches)
                 nxt = sample_step(logits, scfg)
                 nxt = jnp.where(active, nxt, scfg.pad_id)

@@ -57,8 +57,9 @@ class GenerationOutput:
 class GenerationSession:
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  mapping: Optional[Mapping] = None, mesh=None,
-                 kv_scales=None):
+                 kv_scales=None, model=None):
         self.cfg = cfg
+        self.model = model if model is not None else llama
         self.engine_cfg = engine_cfg
         self.mapping = mapping or Mapping()
         self.mesh = mesh
@@ -89,7 +90,8 @@ class GenerationSession:
                        NamedSharding(mesh, P(None)))
 
     def make_caches(self, batch: int, max_len: int) -> KVCache:
-        caches = llama.init_caches(self.cfg, batch, max_len, self.kv_scales)
+        caches = self.model.init_caches(self.cfg, batch, max_len,
+                                        self.kv_scales)
         sh = self._cache_sharding(self.mesh)
         if sh is not None:
             caches = jax.device_put(caches, sh)
@@ -101,9 +103,11 @@ class GenerationSession:
         """Build the single jitted end-to-end generate function."""
         cfg = self.cfg
 
+        model = self.model
+
         def fn(params, input_ids, seq_lens, caches, key):
             b = input_ids.shape[0]
-            logits, caches = llama.forward_prefill(
+            logits, caches = model.forward_prefill(
                 params, cfg, input_ids, seq_lens, caches)
             if use_penalties:
                 counts = init_token_counts(input_ids, seq_lens, cfg.vocab_size)
@@ -126,7 +130,7 @@ class GenerationSession:
 
             def body(state):
                 step, tokens, positions, caches, done, out, lengths, key, counts = state
-                logits, caches = llama.forward_decode(
+                logits, caches = model.forward_decode(
                     params, cfg, tokens, positions, caches)
                 key, sub = jax.random.split(key)
                 gen_lens = jnp.full((b,), 0, jnp.int32) + step
@@ -203,9 +207,11 @@ class GenerationSession:
         if key not in self._fn_cache:
             cfg = self.cfg
 
+            model = self.model
+
             def fn(params, input_ids, seq_lens, caches):
                 return beam_search_decode(
-                    params, cfg, input_ids, seq_lens, caches,
+                    params, cfg, input_ids, seq_lens, caches, model=model,
                     beam_width=scfg.beam_width, max_new_tokens=max_new,
                     end_id=scfg.end_id, pad_id=scfg.pad_id,
                     length_penalty=scfg.length_penalty)
