@@ -58,6 +58,12 @@ def dense(x, w, out_dtype=None, layer=None):
                 and _PALLAS["enabled"] and _PALLAS["woq_matmul_stacked"]):
             out_dtype = out_dtype or x.dtype
             return _PALLAS["woq_matmul_stacked"](x, w, layer).astype(out_dtype)
+        if (isinstance(w, SQWeight) and w.per_token
+                and _PALLAS["enabled"] and _PALLAS["w8a8_matmul_stacked"]):
+            out_dtype = out_dtype or x.dtype
+            x_q, s_x = quantize_per_token(x)
+            return _PALLAS["w8a8_matmul_stacked"](
+                x_q, w.qweight, s_x, w.scale_w, layer).astype(out_dtype)
         w = _index_layer(w, layer)
     if isinstance(w, WOQWeight):
         return _dense_woq(x, w, out_dtype)

@@ -14,6 +14,7 @@ KERNELS = {
     "woq_matmul": None,
     "woq_matmul_stacked": None,
     "w8a8_matmul": None,
+    "w8a8_matmul_stacked": None,
     "decode_attention": None,
     "fused_decode_attention": None,
     "prefill_attention": None,
