@@ -115,3 +115,23 @@ def test_gqa_decode_consistency():
         caches)
     np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_unrolled_layers_match_scan(hf_setup):
+    """UNROLL_LAYERS variant must produce identical logits to the scan."""
+    _, cfg, params = hf_setup
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, cfg.vocab_size, (2, 8))
+    def run():
+        caches = llama.init_caches(cfg, 2, 16)
+        lens = jnp.full((2,), 8, jnp.int32)
+        logits, _ = llama.forward_prefill(
+            params, cfg, jnp.asarray(ids), lens, caches)
+        return np.asarray(logits)
+    scan = run()
+    llama.UNROLL_LAYERS["enabled"] = True
+    try:
+        unrolled = run()
+    finally:
+        llama.UNROLL_LAYERS["enabled"] = False
+    np.testing.assert_allclose(unrolled, scan, atol=1e-5, rtol=1e-5)

@@ -131,9 +131,22 @@ def _mlp_block(cfg: ModelConfig, lw, layer, x):
     return out
 
 
+# When True the layer loop is unrolled in Python (static layer indices) —
+# longer compile, but XLA can alias cache buffers around Pallas calls that
+# the scan carry forces it to copy. Toggle for experiments/benchmarks.
+UNROLL_LAYERS = {"enabled": False}
+
+
 def _run_layers(cfg: ModelConfig, params: Params, x, cos, sin, caches,
                 seq_lens, decode: bool):
     lw = params["layers"]
+
+    if UNROLL_LAYERS["enabled"]:
+        for layer in range(cfg.num_layers):
+            x, caches = _attn_block(cfg, lw, layer, x, cos, sin, caches,
+                                    seq_lens, decode)
+            x = _mlp_block(cfg, lw, layer, x)
+        return x, caches
 
     def body(carry, layer):
         x, caches = carry
