@@ -136,3 +136,22 @@ def test_fused_decode_kernel_matches_reference(kv_int8):
     # cache rows written identically
     np.testing.assert_allclose(np.asarray(kc2), np.asarray(cache.k), atol=1)
     np.testing.assert_allclose(np.asarray(vc2), np.asarray(cache.v), atol=1)
+
+
+@pytest.mark.parametrize("s", [9, 70, 200])
+def test_prefill_kernel_nondivisible_s(s):
+    """Odd sequence lengths (e.g. the 923-token summarize bucket) pad S."""
+    rng = np.random.default_rng(5)
+    b, hq, hkv, d = 1, 2, 2, 128
+    q = rng.standard_normal((b, s, hq, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    lens = jnp.asarray([s - 1], jnp.int32)
+    out = prefill_attention_kernel(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), lens, interpret=True)
+    expected = ref.prefill_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), lens)
+    assert out.shape == (b, s, hq, d)
+    np.testing.assert_allclose(np.asarray(out)[0, :s - 1],
+                               np.asarray(expected)[0, :s - 1],
+                               atol=2e-2, rtol=2e-2)

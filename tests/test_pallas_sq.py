@@ -71,3 +71,44 @@ def test_w8a8_stacked_matches_per_layer():
         ref = (np.asarray(x_q, np.int32) @ wq[layer].astype(np.int32)
                ).astype(np.float32) * np.asarray(s_x) * s_w[layer]
         np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sq_model_with_kernels_matches_plain():
+    """SQ model logits with the stacked W8A8 kernel (interpret) == XLA path.
+    int32 accumulation is exact, so tokens must match bit-for-bit."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from trtllm_llama_tpu.config import ModelConfig
+    from trtllm_llama_tpu.models import llama
+    from trtllm_llama_tpu.ops.registry import KERNELS, enable_pallas_kernels
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import quantize_params
+
+    qm = QuantMode.use_smooth_quant(per_token=True, per_channel=True)
+    cfg = ModelConfig.tiny(hidden_size=256, num_heads=2, num_kv_heads=2,
+                           head_dim=128, dtype="float32", quant_mode=qm)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    act_ranges = {k: np.full((cfg.num_layers,), 3.0, np.float32)
+                  for k in ("wq", "wk", "wv", "wo",
+                            "w_gate", "w_up", "w_down")}
+    qp = quantize_params(params, qm, act_ranges=act_ranges)
+    ids = np.random.default_rng(4).integers(3, 250, (1, 8))
+
+    def run():
+        caches = llama.init_caches(cfg, 1, 16)
+        lens = jnp.asarray([8], jnp.int32)
+        logits, _ = llama.forward_prefill(qp, cfg, jnp.asarray(ids), lens,
+                                          caches)
+        return np.asarray(logits)
+
+    plain = run()
+    enable_pallas_kernels(True)
+    for k in list(KERNELS):
+        if k not in ("enabled", "w8a8_matmul_stacked"):
+            KERNELS[k] = None
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            kerneled = run()
+    finally:
+        enable_pallas_kernels(False)
+    np.testing.assert_allclose(kerneled, plain, atol=1e-5, rtol=1e-5)

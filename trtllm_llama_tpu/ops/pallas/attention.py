@@ -287,12 +287,19 @@ def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
                              bq=256, interpret=False):
     """Causal self-attention. q: [B, S, H_q, D]; k, v: [B, S, H_kv, D];
     seq_lens: [B] (None => all S). Returns [B, S, H_q, D]."""
-    b, s, hq, d = q.shape
+    b, s_in, hq, d = q.shape
     hkv = k.shape[2]
     r = hq // hkv
     sm_scale = sm_scale if sm_scale is not None else d ** -0.5
     if seq_lens is None:
-        seq_lens = jnp.full((b,), s, jnp.int32)
+        seq_lens = jnp.full((b,), s_in, jnp.int32)
+    # pad S to a tileable multiple; padded keys are masked by the length
+    # mask (cols < lens), padded query rows are sliced off below
+    pad_s = (-s_in) % 128 if s_in > 64 else (-s_in) % 8
+    if pad_s:
+        pad = ((0, 0), (0, pad_s), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    s = s_in + pad_s
     bq = min(bq, s)
     if s % bq:
         bq = next(c for c in (128, 64, 32, 16, 8, 1) if s % c == 0)
@@ -329,4 +336,5 @@ def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
             transcendentals=b * hq * s * s),
         interpret=interpret,
     )(jnp.asarray(seq_lens, jnp.int32), qt, kt, vt)
-    return jnp.swapaxes(out, 1, 2)
+    out = jnp.swapaxes(out, 1, 2)
+    return out[:, :s_in] if pad_s else out
