@@ -123,12 +123,18 @@ def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
     reference mmha semantics); jnp fallback = scatter write + attention.
     """
     from .registry import KERNELS, kernel
-    k_fn = kernel("fused_decode_attention")
-    if k_fn is not None and KERNELS.get("use_decode_attn_kernel"):
+    mode = KERNELS.get("decode_attn_mode", "xla")
+    if mode == "fused" and kernel("fused_decode_attention") is not None:
+        k_fn = kernel("fused_decode_attention")
         out, kc, vc = k_fn(q, k_new, v_new, cache.k, cache.v, cache.scale,
                            layer, positions, sm_scale=scale)
         return out, KVCache(kc, vc, cache.scale)
     cache = write_kv_decode_at(cache, layer, k_new, v_new, positions)
+    if mode == "split" and kernel("decode_attention") is not None:
+        out = kernel("decode_attention")(
+            q, cache.k, cache.v, cache.scale, layer, positions + 1,
+            sm_scale=scale)
+        return out, cache
     out = decode_attention(q, _layer_cache(cache, layer), positions + 1,
                            scale)
     return out, cache

@@ -19,12 +19,12 @@ KERNELS = {
     "fused_decode_attention": None,
     "prefill_attention": None,
     "rmsnorm_quant": None,
-    # The fused decode-attention kernel is correct but currently loses to
-    # the XLA scatter+einsum path inside the decode scan (XLA inserts cache
-    # copies around the pallas call in the loop carry) — opt-in until the
-    # loop-state interaction is solved. Measured: 7B bs1 int8-wo decode
-    # 89.5 tok/s (XLA attn) vs 68.9 (fused kernel).
-    "use_decode_attn_kernel": False,
+    # Decode attention path: 'xla' (scatter + einsum, default — best at
+    # short/medium context), 'split' (scatter + read-only pallas kernel),
+    # 'fused' (write+attend aliased kernel; writes full cache blocks back,
+    # so it loses unless the loop-state copy behavior changes). Measured 7B
+    # bs1 int8-wo: xla 89.8/81.0 (TaskB/TaskA), fused 68.9-77.4.
+    "decode_attn_mode": "xla",
 }
 
 
