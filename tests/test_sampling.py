@@ -71,3 +71,59 @@ def test_sampling_is_jittable():
     toks = fn(lg, jax.random.PRNGKey(2), jnp.zeros((2, 32), jnp.int32),
               jnp.zeros((2,), jnp.int32))
     assert toks.shape == (2,) and toks.dtype == jnp.int32
+
+
+def test_bad_words_single_token_banned():
+    from trtllm_llama_tpu.runtime.sampling import apply_bad_words
+    logits = jnp.zeros((2, 8))
+    tail = jnp.zeros((2, 2), jnp.int32)
+    out = np.asarray(apply_bad_words(logits, tail, ((3,),)))
+    assert (out[:, 3] < -1e8).all() and (out[:, :3] == 0).all()
+
+
+def test_bad_words_sequence_requires_prefix():
+    from trtllm_llama_tpu.runtime.sampling import apply_bad_words
+    logits = jnp.zeros((2, 8))
+    tail = jnp.asarray([[1, 5], [1, 2]], jnp.int32)
+    out = np.asarray(apply_bad_words(logits, tail, ((2, 6),)))
+    assert out[0, 6] == 0           # tail doesn't end with 2
+    assert out[1, 6] < -1e8         # tail ends with 2 -> ban 6
+
+
+def test_stop_words_matching():
+    from trtllm_llama_tpu.runtime.sampling import stop_words_matched
+    tail = jnp.asarray([[7, 8, 9], [1, 2, 3]], jnp.int32)
+    hit = np.asarray(stop_words_matched(tail, ((8, 9), (0,))))
+    np.testing.assert_array_equal(hit, [True, False])
+
+
+def test_session_bad_and_stop_words():
+    from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+    from trtllm_llama_tpu.models import llama
+    from trtllm_llama_tpu.runtime.session import GenerationSession
+
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(9))
+    sess = GenerationSession(cfg, params,
+                             EngineConfig(max_input_len=16, max_seq_len=48))
+    ids = np.random.default_rng(5).integers(3, 250, (1, 7))
+    free = sess.generate(ids, max_new_tokens=6,
+                         sampling=SamplingConfig(end_id=-1)).output_ids[0]
+
+    # ban the greedy first token: generation must avoid it everywhere
+    banned = int(free[0])
+    out = sess.generate(ids, max_new_tokens=6,
+                        sampling=SamplingConfig(end_id=-1,
+                                                bad_words=((banned,),)))
+    assert banned not in out.output_ids[0].tolist()
+
+    # stop at the 2-token sequence (free[1], free[2])
+    stop = (int(free[1]), int(free[2]))
+    out = sess.generate(ids, max_new_tokens=6,
+                        sampling=SamplingConfig(end_id=-1,
+                                                stop_words=(stop,)))
+    # generation halts once the stop sequence appears
+    toks = out.output_ids[0].tolist()
+    if toks[1] == stop[0] and toks[2] == stop[1]:
+        assert out.lengths[0] == 3
+        assert all(t == 0 for t in toks[3:])

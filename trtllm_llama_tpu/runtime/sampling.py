@@ -37,6 +37,16 @@ class SamplingConfig:
     pad_id: int = 0
     beam_width: int = 1              # >1 => beam search (runtime/beam.py)
     length_penalty: float = 0.0      # beam-search length normalization alpha
+    # static token-sequence lists, e.g. ((12,), (7, 9)) — compiled into the
+    # decode step (reference banBadWords.cu / stopCriteriaKernels.cu scope)
+    bad_words: tuple = ()
+    stop_words: tuple = ()
+
+    @property
+    def tail_len(self) -> int:
+        """History window needed for bad/stop word matching."""
+        lens = [len(w) for w in self.bad_words + self.stop_words]
+        return max(lens, default=0)
 
     @property
     def is_greedy(self) -> bool:
@@ -124,6 +134,46 @@ def sample_step(logits, cfg: SamplingConfig, key=None, token_counts=None,
         logits = apply_top_p(logits, cfg.top_p)
     assert key is not None, "stochastic sampling needs a PRNG key"
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def update_tail(tail, tokens):
+    """Roll the last-tokens window: tail [B, T] <- append tokens [B]."""
+    return jnp.concatenate([tail[:, 1:], tokens[:, None]], axis=1)
+
+
+def _tail_matches(tail, seq):
+    """[B] bool: does the history window end with `seq` (a static tuple)?"""
+    t = len(seq)
+    if t == 0:
+        return jnp.ones((tail.shape[0],), bool)
+    if t > tail.shape[1]:
+        return jnp.zeros((tail.shape[0],), bool)
+    ref = jnp.asarray(seq, jnp.int32)
+    return jnp.all(tail[:, tail.shape[1] - t:] == ref[None, :], axis=1)
+
+
+def apply_bad_words(logits, tail, bad_words):
+    """Ban the completing token of any bad word whose prefix matches the
+    generated tail (reference invokeBanBadWords semantics). `bad_words` is a
+    static tuple of token tuples; single-token words are always banned."""
+    for word in bad_words:
+        prefix, last = tuple(word[:-1]), int(word[-1])
+        hit = _tail_matches(tail, prefix)
+        logits = logits.at[:, last].add(
+            jnp.where(hit, -1e9, 0.0).astype(logits.dtype))
+    return logits
+
+
+def stop_words_matched(tail, stop_words):
+    """[B] bool: any stop sequence fully matched at the end of the tail
+    (reference invokeStopWordsCriterion)."""
+    if not stop_words:
+        return jnp.zeros((tail.shape[0],), bool)
+    hits = [_tail_matches(tail, tuple(w)) for w in stop_words]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out | h
+    return out
 
 
 def update_token_counts(token_counts, tokens):

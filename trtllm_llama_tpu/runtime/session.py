@@ -36,7 +36,8 @@ from ..models import llama
 from ..ops.attention import KVCache
 from ..parallel.mapping import Mapping
 from .sampling import (
-    SamplingConfig, init_token_counts, sample_step, update_token_counts,
+    SamplingConfig, apply_bad_words, init_token_counts, sample_step,
+    stop_words_matched, update_tail, update_token_counts,
 )
 
 
@@ -104,6 +105,17 @@ class GenerationSession:
         cfg = self.cfg
 
         model = self.model
+        tail_len = scfg.tail_len
+
+        def init_tail(input_ids, seq_lens):
+            # last tail_len prompt tokens per sequence (left-aligned input);
+            # positions before the prompt start read as pad (never match)
+            b, s = input_ids.shape
+            idx = seq_lens[:, None] - tail_len + jnp.arange(tail_len)[None]
+            valid = idx >= 0
+            gathered = jnp.take_along_axis(
+                input_ids, jnp.clip(idx, 0, s - 1).astype(jnp.int32), axis=1)
+            return jnp.where(valid, gathered, scfg.pad_id).astype(jnp.int32)
 
         def fn(params, input_ids, seq_lens, caches, key):
             b = input_ids.shape[0]
@@ -113,15 +125,23 @@ class GenerationSession:
                 counts = init_token_counts(input_ids, seq_lens, cfg.vocab_size)
             else:
                 counts = None
+            tail = (init_tail(input_ids, seq_lens) if tail_len
+                    else jnp.zeros((b, 0), jnp.int32))
             key, sub = jax.random.split(key)
+            if scfg.bad_words:
+                logits = apply_bad_words(logits, tail, scfg.bad_words)
             tokens = sample_step(logits, scfg, sub, counts,
                                  jnp.zeros((b,), jnp.int32))
             if use_penalties:
                 counts = update_token_counts(counts, tokens)
+            if tail_len:
+                tail = update_tail(tail, tokens)
             out = jnp.full((b, max_new), scfg.pad_id, jnp.int32)
             out = out.at[:, 0].set(
                 jnp.where(tokens == scfg.end_id, scfg.end_id, tokens))
             done = tokens == scfg.end_id
+            if scfg.stop_words:
+                done = done | stop_words_matched(tail, scfg.stop_words)
             lengths = jnp.ones((b,), jnp.int32)
 
             def cond(state):
@@ -129,27 +149,35 @@ class GenerationSession:
                 return (step < max_new) & ~jnp.all(done)
 
             def body(state):
-                step, tokens, positions, caches, done, out, lengths, key, counts = state
+                (step, tokens, positions, caches, done, out, lengths, key,
+                 counts, tail) = state
                 logits, caches = model.forward_decode(
                     params, cfg, tokens, positions, caches)
                 key, sub = jax.random.split(key)
                 gen_lens = jnp.full((b,), 0, jnp.int32) + step
+                if scfg.bad_words:
+                    logits = apply_bad_words(logits, tail, scfg.bad_words)
                 nxt = sample_step(logits, scfg, sub, counts, gen_lens)
                 nxt = jnp.where(done, scfg.pad_id, nxt)
                 if counts is not None:
                     counts = update_token_counts(
                         counts, jnp.where(done, 0, nxt))
+                if tail_len:
+                    tail = update_tail(tail, nxt)
                 out = out.at[:, step].set(nxt)
                 new_done = done | (nxt == scfg.end_id)
+                if scfg.stop_words:
+                    new_done = new_done | (
+                        ~done & stop_words_matched(tail, scfg.stop_words))
                 lengths = lengths + (~done).astype(jnp.int32)
                 positions = positions + (~done).astype(jnp.int32)
                 return (step + 1, nxt, positions, caches, new_done, out,
-                        lengths, key, counts)
+                        lengths, key, counts, tail)
 
             state = (jnp.int32(1), tokens, seq_lens, caches, done, out,
-                     lengths, key, counts)
+                     lengths, key, counts, tail)
             state = jax.lax.while_loop(cond, body, state)
-            (_, _, _, caches, _, out, lengths, _, _) = state
+            (_, _, _, caches, _, out, lengths, _, _, _) = state
             return out, lengths, caches
 
         donate = (3,)  # caches donated for in-place KV update
