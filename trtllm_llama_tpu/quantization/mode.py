@@ -44,7 +44,8 @@ class QuantMode(enum.IntFlag):
         )
 
     def is_weight_only(self) -> bool:
-        return self.has_int4_weights() or self.has_int8_weights()
+        return ((self.has_int4_weights() or self.has_int8_weights())
+                and not bool(self & QuantMode.ACTIVATIONS))
 
     def has_act_and_weight_quant(self) -> bool:
         return bool(self & QuantMode.ACTIVATIONS) and self.has_int8_weights()
