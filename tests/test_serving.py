@@ -120,3 +120,44 @@ def test_serving_streaming_arrivals(tiny_setup):
     for rid, p, n in [(r1, p1, 6), (r2, p2, 4)]:
         ref = offline.generate([p], sampling=scfg, max_new_tokens=n)
         assert done[rid].output_ids == ref.output_ids[0].tolist()
+
+
+def test_paged_serving_matches_dense(tiny_setup):
+    """Paged-KV serving must produce exactly the dense-slot engine's tokens,
+    and release all blocks when done."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 9, 3, 12)]
+    new_tokens = [6, 4, 7, 5]
+
+    dense = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3)
+    d_ids = [dense.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    d_done = dense.run_to_completion()
+
+    paged = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                          paged=True, block_size=8)
+    p_ids = [paged.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    p_done = paged.run_to_completion()
+
+    for d, p in zip(d_ids, p_ids):
+        assert p_done[p].output_ids == d_done[d].output_ids, (
+            p_done[p].output_ids, d_done[d].output_ids)
+    assert paged.kv_mgr.blocks.free_blocks == paged.num_blocks
+
+
+def test_paged_serving_block_reuse(tiny_setup):
+    """Sequential requests reuse freed blocks (no leak across lifecycles)."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(7)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=2,
+                           paged=True, block_size=8)
+    offline = GenerationSession(cfg, params, ecfg)
+    for i in range(3):
+        p = rng.integers(3, 250, (6 + i,)).tolist()
+        rid = engine.submit(p, 4)
+        out = engine.run_to_completion()[rid].output_ids
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=4)
+        assert out == ref.output_ids[0].tolist()
+        assert engine.kv_mgr.blocks.free_blocks == engine.num_blocks

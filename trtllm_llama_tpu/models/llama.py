@@ -33,6 +33,10 @@ from ..ops.attention import (
     KVCache, fused_decode_attention_at, prefill_attention,
     write_kv_prefill_at,
 )
+from ..ops.paged_attention import (
+    PagedKVCache, paged_decode_attention_at, paged_write_decode_at,
+    paged_write_prefill_at,
+)
 from ..ops.linear import dense, embedding_lookup
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope, rope_table, take_rope
@@ -107,12 +111,20 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     v = _split_heads(dense(h, lw["wv"], layer=layer), cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    paged = isinstance(caches, PagedKVCache)
     if decode:
         # q,k,v: [B, H, D]; cos/sin: [B, 1, d] broadcast over heads
-        attn, caches = fused_decode_attention_at(
-            q, k, v, caches, layer, seq_lens)
+        if paged:
+            caches = paged_write_decode_at(caches, layer, k, v, seq_lens)
+            attn = paged_decode_attention_at(q, caches, layer, seq_lens + 1)
+        else:
+            attn, caches = fused_decode_attention_at(
+                q, k, v, caches, layer, seq_lens)
     else:
-        caches = write_kv_prefill_at(caches, layer, k, v)
+        if paged:
+            caches = paged_write_prefill_at(caches, layer, k, v)
+        else:
+            caches = write_kv_prefill_at(caches, layer, k, v)
         attn = prefill_attention(q, k, v, seq_lens)
     attn = attn.reshape(*attn.shape[:-2], cfg.num_heads * cfg.head_dim)
     debug_output("attention_output", attn)

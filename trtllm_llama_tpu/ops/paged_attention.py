@@ -1,0 +1,139 @@
+"""Paged KV cache on device: block pool + block-table addressed attention.
+
+Device half of the paged-KV design (host half: runtime/kv_cache_manager.py).
+The reference's equivalent is KVBlockArray + the paged branches of its
+attention kernels (kvCacheUtils.h:114, gptAttentionCommon paged enqueue):
+per-block device pointers chased inside the kernel. TPU kernels address by
+index, so the cache is one pool array per layer stack
+
+    pool_k/pool_v: [L, n_blocks, H_kv, block_size, D]
+
+and each sequence owns rows of a block-index table [B, max_blocks] (emitted
+by KVCacheManager.block_table()). Correctness-first XLA implementation:
+gathers/scatters on the pool (a fused-gather Pallas kernel is the follow-up,
+pending the decode-kernel integration findings — see docs/kernels.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class PagedKVCache(NamedTuple):
+    """pool_k/pool_v: [L, NB, H, BS, D]; tables: [B, MB] int32 block indices
+    (-1 pad); scale: [L] f32 (int8-KV dequant scales, ones otherwise)."""
+
+    pool_k: jnp.ndarray
+    pool_v: jnp.ndarray
+    tables: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def init_paged_caches(cfg, n_blocks: int, block_size: int, batch: int,
+                      max_blocks_per_seq: int, kv_scales=None) -> PagedKVCache:
+    kv_dtype = (jnp.int8 if cfg.quant_mode.has_int8_kv_cache()
+                else cfg.jnp_dtype)
+    shape = (cfg.num_layers, n_blocks, cfg.num_kv_heads, block_size,
+             cfg.head_dim)
+    if kv_scales is None:
+        kv_scales = jnp.ones((cfg.num_layers,), jnp.float32)
+    return PagedKVCache(
+        jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype),
+        jnp.full((batch, max_blocks_per_seq), -1, jnp.int32),
+        jnp.asarray(kv_scales, jnp.float32))
+
+
+def _quant(x, cache: PagedKVCache, layer):
+    if cache.pool_k.dtype == jnp.int8:
+        s = cache.scale[layer]
+        return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                        -127, 127).astype(jnp.int8)
+    return x.astype(cache.pool_k.dtype)
+
+
+def _dequant(x, cache: PagedKVCache, layer, dtype):
+    if cache.pool_k.dtype == jnp.int8:
+        return (x.astype(jnp.float32) * cache.scale[layer]).astype(dtype)
+    return x.astype(dtype)
+
+
+def paged_write_prefill_at(cache: PagedKVCache, layer, k, v) -> PagedKVCache:
+    """Scatter a prompt's K/V ([B, S, H, D], S <= MB*BS) into each
+    sequence's blocks. Pad blocks (-1) are redirected to a scratch slot
+    (block 0 row of a dedicated overflow region is avoided by clipping:
+    callers must reserve block indices so -1 writes are masked out)."""
+    l, nb, h, bs, d = cache.pool_k.shape
+    b, s, _, _ = k.shape
+    n_full = -(-s // bs)
+    pad_s = n_full * bs - s
+    if pad_s:
+        k = jnp.pad(k, ((0, 0), (0, pad_s), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_s), (0, 0), (0, 0)))
+    # [B, n_full, BS, H, D] -> [B, n_full, H, BS, D]
+    kb = jnp.swapaxes(k.reshape(b, n_full, bs, h, d), 2, 3)
+    vb = jnp.swapaxes(v.reshape(b, n_full, bs, h, d), 2, 3)
+    tables = cache.tables[:, :n_full]                     # [B, n_full]
+    valid = tables >= 0
+    flat_idx = jnp.where(valid, tables, 0).reshape(-1)    # [B*n_full]
+    kb = _quant(kb.reshape(b * n_full, h, bs, d), cache, layer)
+    vb = _quant(vb.reshape(b * n_full, h, bs, d), cache, layer)
+    # masked scatter: invalid rows write their current content back
+    mask = valid.reshape(-1, 1, 1, 1)
+    cur_k = cache.pool_k[layer, flat_idx]
+    cur_v = cache.pool_v[layer, flat_idx]
+    pk = cache.pool_k.at[layer, flat_idx].set(jnp.where(mask, kb, cur_k))
+    pv = cache.pool_v.at[layer, flat_idx].set(jnp.where(mask, vb, cur_v))
+    return cache._replace(pool_k=pk, pool_v=pv)
+
+
+def paged_write_decode_at(cache: PagedKVCache, layer, k, v,
+                          positions) -> PagedKVCache:
+    """Write one token per sequence: k/v [B, H, D] at positions [B]."""
+    bs = cache.pool_k.shape[3]
+    b = k.shape[0]
+    bidx = jnp.arange(b)
+    blk = jnp.take_along_axis(cache.tables,
+                              (positions // bs)[:, None], axis=1)[:, 0]
+    blk = jnp.maximum(blk, 0)
+    off = positions % bs
+    pk = cache.pool_k.at[layer, blk, :, off, :].set(_quant(k, cache, layer))
+    pv = cache.pool_v.at[layer, blk, :, off, :].set(_quant(v, cache, layer))
+    del bidx
+    return cache._replace(pool_k=pk, pool_v=pv)
+
+
+def paged_decode_attention_at(q, cache: PagedKVCache, layer, cache_lens,
+                              scale: Optional[float] = None):
+    """Single-token attention over paged KV. q: [B, H_q, D]; cache_lens: [B]
+    valid positions. Returns [B, H_q, D]."""
+    l, nb, hkv, bs, d = cache.pool_k.shape
+    b, hq, _ = q.shape
+    mb = cache.tables.shape[1]
+    sm = scale if scale is not None else d ** -0.5
+
+    tables = jnp.maximum(cache.tables, 0)                 # [B, MB]
+    # gather the sequence's blocks: [B, MB, H, BS, D]
+    kg = cache.pool_k[layer][tables]
+    vg = cache.pool_v[layer][tables]
+    # -> [B, H, MB*BS, D]
+    kg = jnp.swapaxes(kg, 2, 3).reshape(b, mb * bs, hkv, d)
+    vg = jnp.swapaxes(vg, 2, 3).reshape(b, mb * bs, hkv, d)
+    kg = jnp.swapaxes(_dequant(kg, cache, layer, q.dtype), 1, 2)
+    vg = jnp.swapaxes(_dequant(vg, cache, layer, q.dtype), 1, 2)
+    rep = hq // hkv
+    if rep > 1:
+        kg = jnp.repeat(kg, rep, axis=1)
+        vg = jnp.repeat(vg, rep, axis=1)
+    logits = jnp.einsum("bhd,bhkd->bhk", q, kg,
+                        preferred_element_type=jnp.float32) * sm
+    mask = jnp.arange(mb * bs)[None, :] < cache_lens[:, None]
+    logits = jnp.where(mask[:, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhk,bhkd->bhd", probs.astype(q.dtype), vg,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

@@ -39,7 +39,9 @@ class FinishedRequest:
 class ServingEngine:
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  sampling: Optional[SamplingConfig] = None,
-                 kv_scales=None, decode_chunk: int = 8, model=None):
+                 kv_scales=None, decode_chunk: int = 8, model=None,
+                 paged: bool = False, block_size: int = 64,
+                 num_blocks: Optional[int] = None):
         self.cfg = cfg
         self.model = model if model is not None else llama
         self.params = params
@@ -47,10 +49,34 @@ class ServingEngine:
         self.scfg = sampling or SamplingConfig()
         self.decode_chunk = decode_chunk
         self.max_slots = engine_cfg.max_batch_size
-        self.scheduler = Scheduler(self.max_slots, engine_cfg.max_seq_len)
+        self.paged = paged
 
-        self.caches = self.model.init_caches(cfg, self.max_slots,
-                                        engine_cfg.max_seq_len, kv_scales)
+        if paged:
+            from ..ops.paged_attention import init_paged_caches
+            from .kv_cache_manager import KVCacheManager
+
+            self.block_size = block_size
+            self.max_blocks = -(-engine_cfg.max_seq_len // block_size)
+            self.num_blocks = (num_blocks if num_blocks is not None
+                               else self.max_slots * self.max_blocks)
+            self.kv_mgr = KVCacheManager(self.num_blocks, block_size,
+                                         self.max_blocks)
+            self.scheduler = Scheduler(
+                self.max_slots, engine_cfg.max_seq_len,
+                kv_token_capacity=self.num_blocks * block_size)
+            # pool gets one extra "trash" block: inactive slots' writes land
+            # there instead of corrupting live blocks
+            self.trash_block = self.num_blocks
+            self.caches = init_paged_caches(
+                cfg, self.num_blocks + 1, block_size, self.max_slots,
+                self.max_blocks, kv_scales)
+            self.caches = self.caches._replace(
+                tables=jnp.full((self.max_slots, self.max_blocks),
+                                self.trash_block, jnp.int32))
+        else:
+            self.scheduler = Scheduler(self.max_slots, engine_cfg.max_seq_len)
+            self.caches = self.model.init_caches(
+                cfg, self.max_slots, engine_cfg.max_seq_len, kv_scales)
         self._kv_scales = kv_scales
         # per-slot device state
         self.slot_lens = jnp.zeros((self.max_slots,), jnp.int32)
@@ -75,6 +101,22 @@ class ServingEngine:
             caches = caches._replace(
                 k=insert(caches.k, scratch.k), v=insert(caches.v, scratch.v))
             return caches, token[0]
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _paged_prefill_fn(self, bucket: int):
+        cfg, scfg = self.cfg, self.scfg
+        model = self.model
+
+        def fn(params, caches, ids, length, table_row):
+            # batch-1 view sharing the pools; scatters go to this request's
+            # blocks
+            view = caches._replace(tables=table_row[None, :])
+            logits, view = model.forward_prefill(params, cfg, ids, length,
+                                                 view)
+            token = sample_step(logits, scfg)
+            return caches._replace(pool_k=view.pool_k,
+                                   pool_v=view.pool_v), token[0]
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -107,6 +149,19 @@ class ServingEngine:
             self._fn_cache[key] = builder(*args)
         return self._fn_cache[key]
 
+    def _release_slot(self, slot: int):
+        self.slot_active = self.slot_active.at[slot].set(False)
+        if self.paged:
+            self.kv_mgr.remove_sequence(slot)
+            self.caches = self.caches._replace(
+                tables=self.caches.tables.at[slot].set(self.trash_block))
+
+    def _host_table_row(self, slot: int) -> np.ndarray:
+        """Block table row for a slot, -1 pads remapped to the trash block."""
+        row = self.kv_mgr.block_table([slot])[0]
+        row = np.where(row < 0, self.trash_block, row).astype(np.int32)
+        return row
+
     # ------------------------------------------------------------------
     def submit(self, input_ids: List[int], max_new_tokens: int) -> int:
         return self.scheduler.submit(input_ids, max_new_tokens)
@@ -120,10 +175,22 @@ class ServingEngine:
             bucket = self.engine_cfg.bucket_for(len(req.input_ids))
             ids = np.full((1, bucket), self.scfg.pad_id, np.int32)
             ids[0, :len(req.input_ids)] = req.input_ids
-            fn = self._get(("prefill", bucket), self._prefill_fn, bucket)
-            self.caches, token = fn(
-                self.params, self.caches, jnp.asarray(ids),
-                jnp.asarray([len(req.input_ids)], jnp.int32), req.slot)
+            if self.paged:
+                self.kv_mgr.add_sequence(req.slot, len(req.input_ids))
+                row = self._host_table_row(req.slot)
+                self.caches = self.caches._replace(
+                    tables=self.caches.tables.at[req.slot].set(row))
+                fn = self._get(("pprefill", bucket),
+                               self._paged_prefill_fn, bucket)
+                self.caches, token = fn(
+                    self.params, self.caches, jnp.asarray(ids),
+                    jnp.asarray([len(req.input_ids)], jnp.int32),
+                    jnp.asarray(row))
+            else:
+                fn = self._get(("prefill", bucket), self._prefill_fn, bucket)
+                self.caches, token = fn(
+                    self.params, self.caches, jnp.asarray(ids),
+                    jnp.asarray([len(req.input_ids)], jnp.int32), req.slot)
             token = int(token)
             self.slot_lens = self.slot_lens.at[req.slot].set(
                 len(req.input_ids))
@@ -131,7 +198,7 @@ class ServingEngine:
             self.slot_active = self.slot_active.at[req.slot].set(True)
             if self.scheduler.record_token(req.request_id, token,
                                            self.scfg.end_id):
-                self.slot_active = self.slot_active.at[req.slot].set(False)
+                self._release_slot(req.slot)
                 finished.append(FinishedRequest(
                     req.request_id, req.output_ids, req.finished_reason))
 
@@ -144,8 +211,17 @@ class ServingEngine:
         chunk = max(1, min(self.decode_chunk, *budget)) if budget else 0
         if chunk == 0:
             return finished
-        fn = self._get(("decode", chunk), self._decode_fn, chunk)
         slot_of = {r.slot: r for r in self.scheduler.active_requests()}
+        if self.paged:
+            # pre-allocate blocks for this chunk's writes, then refresh the
+            # device block tables
+            tables = np.array(self.caches.tables)  # writable copy
+            for slot in slot_of:
+                for _ in range(chunk):
+                    self.kv_mgr.append_token(slot)
+                tables[slot] = self._host_table_row(slot)
+            self.caches = self.caches._replace(tables=jnp.asarray(tables))
+        fn = self._get(("decode", chunk), self._decode_fn, chunk)
         self.caches, self.slot_tokens, self.slot_lens, self.slot_active, out \
             = fn(self.params, self.caches, self.slot_tokens, self.slot_lens,
                  self.slot_active)
@@ -155,7 +231,7 @@ class ServingEngine:
             for t in out[slot]:
                 if self.scheduler.record_token(req.request_id, int(t),
                                                self.scfg.end_id):
-                    self.slot_active = self.slot_active.at[slot].set(False)
+                    self._release_slot(slot)
                     finished.append(FinishedRequest(
                         req.request_id, req.output_ids, req.finished_reason))
                     break
