@@ -70,10 +70,61 @@ def build_engine(config_name: str, batch: int, max_len: int):
     return cfg, sess
 
 
+def serving_bench(config_name: str):
+    """Continuous-batching throughput (BENCH_MODE=serving): N requests
+    streamed through the slot pool — the workload the reference's
+    in-flight batching TODO never shipped (README.md:855-866)."""
+    from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import (
+        init_random_quantized_params,
+    )
+    from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+    from trtllm_llama_tpu.runtime.serving import ServingEngine
+
+    slots = int(os.environ.get("BENCH_SLOTS", "8"))
+    n_req = int(os.environ.get("BENCH_REQUESTS", "24"))
+    in_len, out_len = 128, 64
+    qm = {"int8": QuantMode.use_weight_only(False),
+          "int4": QuantMode.use_weight_only(True, per_group=True),
+          "fp16": QuantMode(0)}[config_name]
+    cfg = ModelConfig.llama_7b(quant_mode=qm,
+                               group_size=128 if config_name == "int4" else 0)
+    params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm)
+    ecfg = EngineConfig(max_batch_size=slots, max_input_len=in_len,
+                        max_seq_len=in_len + out_len + 8,
+                        prefill_buckets=(in_len,))
+    eng = ServingEngine(cfg, params, ecfg,
+                        sampling=SamplingConfig(end_id=-1), decode_chunk=16)
+    rng = np.random.default_rng(0)
+    # warm the compile path with one request
+    rid = eng.submit(rng.integers(3, cfg.vocab_size, (in_len,)).tolist(), out_len)
+    eng.run_to_completion()
+
+    reqs = [rng.integers(3, cfg.vocab_size, (in_len,)).tolist()
+            for _ in range(n_req)]
+    t0 = time.perf_counter()
+    for r in reqs:
+        eng.submit(r, out_len)
+    done = eng.run_to_completion()
+    dt = time.perf_counter() - t0
+    total_tokens = sum(len(d.output_ids) for d in done.values())
+    print(json.dumps({
+        "metric": f"serving throughput (LLaMA-7B {config_name}, "
+                  f"{slots} slots, {n_req} reqs, in{in_len} out{out_len})",
+        "value": round(total_tokens / dt, 2),
+        "unit": "tokens/s",
+        "vs_baseline": None,   # reference never shipped in-flight batching
+    }))
+
+
 def main():
     from trtllm_llama_tpu.runtime.sampling import SamplingConfig
 
     config_name = os.environ.get("BENCH_CONFIG", "int8")
+    if os.environ.get("BENCH_MODE") == "serving":
+        serving_bench(config_name)
+        return
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     in_len = int(os.environ.get("BENCH_IN", "8"))
     out_len = int(os.environ.get("BENCH_OUT", "50"))
