@@ -161,3 +161,24 @@ def test_paged_serving_block_reuse(tiny_setup):
         ref = offline.generate([p], sampling=scfg, max_new_tokens=4)
         assert out == ref.output_ids[0].tolist()
         assert engine.kv_mgr.blocks.free_blocks == engine.num_blocks
+
+
+def test_serving_poll_and_cancel(tiny_setup):
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(8)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=2,
+                           paged=True, block_size=8)
+    p1 = rng.integers(3, 250, (6,)).tolist()
+    p2 = rng.integers(3, 250, (5,)).tolist()
+    r1 = engine.submit(p1, 8)
+    r2 = engine.submit(p2, 8)
+    engine.step()
+    partial = engine.poll(r1)
+    assert 1 <= len(partial) <= 3          # prefill token + up to one chunk
+    engine.cancel(r1)                       # mid-flight cancel
+    done = engine.run_to_completion()
+    assert r1 not in done and r2 in done
+    assert len(done[r2].output_ids) == 8
+    # cancelled request's blocks released; only after r2 finishes all free
+    assert engine.kv_mgr.blocks.free_blocks == engine.num_blocks

@@ -166,6 +166,25 @@ class ServingEngine:
     def submit(self, input_ids: List[int], max_new_tokens: int) -> int:
         return self.scheduler.submit(input_ids, max_new_tokens)
 
+    def poll(self, request_id: int) -> List[int]:
+        """Tokens generated so far (streaming consumers read between steps;
+        the reference's GptManager streams via SendResponseCallback)."""
+        req = self.scheduler._active.get(request_id)
+        if req is not None:
+            return list(req.output_ids)
+        for r in self.scheduler._queue:
+            if r.request_id == request_id:
+                return []
+        raise KeyError(request_id)
+
+    def cancel(self, request_id: int):
+        """Cancel a queued or in-flight request, releasing its slot/blocks."""
+        req = self.scheduler._active.get(request_id)
+        slot = req.slot if req is not None else None
+        self.scheduler.cancel(request_id)
+        if slot is not None:
+            self._release_slot(slot)
+
     def step(self) -> List[FinishedRequest]:
         """One engine step: admit+prefill new requests, then decode_chunk
         tokens for all active slots. Returns newly finished requests."""
