@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--per_channel", action="store_true")
     p.add_argument("--smoothquant_alpha", type=float, default=0.5)
     p.add_argument("--int8_kv_cache", action="store_true")
+    p.add_argument("--quantize_lm_head", action="store_true",
+                   help="weight-only-quantize lm_head too (reference always "
+                        "excludes it)")
     p.add_argument("--calib_file", default=None,
                    help="text file, one calibration sample per line "
                         "(the reference uses lambada)")
@@ -75,7 +78,8 @@ def main():
     cfg = convert_hf_checkpoint(
         args.model_dir, args.output_dir, quant_mode=qm, group_size=group,
         dtype=args.dtype, calib_texts=calib_texts,
-        smoothquant_alpha=args.smoothquant_alpha)
+        smoothquant_alpha=args.smoothquant_alpha,
+        quantize_lm_head=args.quantize_lm_head)
     print(f"engine written to {args.output_dir}\n{cfg.to_json()}")
 
 

@@ -109,3 +109,32 @@ def test_woq_weight_is_pytree():
     assert len(leaves) == 2
     mapped = jax.tree.map(lambda x: x, woq)
     assert isinstance(mapped, WOQWeight) and mapped.w_bits == 4
+
+
+def test_quantize_lm_head_option():
+    import jax
+    from trtllm_llama_tpu.config import ModelConfig
+    from trtllm_llama_tpu.models import llama
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import quantize_params
+
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qm = QuantMode.use_weight_only(False)
+    default = quantize_params(params, qm)
+    assert not isinstance(default["lm_head"], WOQWeight)  # reference default
+    quant = quantize_params(params, qm, quantize_lm_head=True)
+    assert isinstance(quant["lm_head"], WOQWeight)
+
+    # model runs with a quantized head and logits stay close
+    import jax.numpy as jnp
+    ids = np.random.default_rng(0).integers(3, 250, (1, 6))
+    caches = llama.init_caches(cfg, 1, 16)
+    lo, _ = llama.forward_prefill(default, cfg, jnp.asarray(ids),
+                                  jnp.asarray([6], jnp.int32), caches)
+    caches = llama.init_caches(cfg, 1, 16)
+    lq, _ = llama.forward_prefill(quant, cfg, jnp.asarray(ids),
+                                  jnp.asarray([6], jnp.int32), caches)
+    rel = np.abs(np.asarray(lq) - np.asarray(lo)).mean() / (
+        np.abs(np.asarray(lo)).mean() + 1e-9)
+    assert rel < 0.02, rel

@@ -39,7 +39,8 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
                      dtype: str = "bfloat16",
                      calib_texts: Optional[Iterable[str]] = None,
                      calib_max_seq_len: int = 512,
-                     smoothquant_alpha: float = 0.5) -> ModelConfig:
+                     smoothquant_alpha: float = 0.5,
+                     quantize_lm_head: bool = False) -> ModelConfig:
     """Convert a loaded transformers LlamaForCausalLM into an engine dir."""
     cfg = ModelConfig.from_hf_config(hf_model.config, dtype=dtype,
                                      quant_mode=quant_mode,
@@ -67,7 +68,8 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
 
     params = params_from_hf_state_dict(sd, cfg)
     params = quantize_params(params, quant_mode, group_size,
-                             act_ranges=act_ranges)
+                             act_ranges=act_ranges,
+                             quantize_lm_head=quantize_lm_head)
 
     kv_scales = None
     if quant_mode.has_int8_kv_cache():

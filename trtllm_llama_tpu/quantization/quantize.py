@@ -94,12 +94,16 @@ def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
 
 
 def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
-                    act_ranges: Optional[Mapping] = None):
+                    act_ranges: Optional[Mapping] = None,
+                    quantize_lm_head: bool = False):
     """Return a new params pytree with quantized projection weights.
 
     act_ranges: required for SmoothQuant — {key: amax [L] or scalar} of
     calibrated max |activation| feeding each projection (output of
     calibrate.capture_activation_ranges; stacked over layers).
+    quantize_lm_head: weight-only-quantize the lm_head too (the reference
+    always excludes it, quant.py:51-97; opt-in here — saves one bf16
+    [D, V] read per token at a small logit-precision cost).
     """
     if not quant_mode.has_any_quant():
         return params
@@ -120,4 +124,8 @@ def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
             new_layers[k] = quantize_weight_only(params["layers"][k], w_bits, gs)
     out = dict(params)
     out["layers"] = new_layers
+    if quantize_lm_head and (quant_mode.is_weight_only()
+                             or quant_mode.has_act_and_weight_quant()):
+        w_bits = 4 if quant_mode.has_int4_weights() else 8
+        out["lm_head"] = quantize_weight_only(params["lm_head"], w_bits, 0)
     return out
