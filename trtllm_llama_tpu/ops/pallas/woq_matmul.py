@@ -36,16 +36,16 @@ def _pick_tile(dim: int, candidates) -> int:
 
 
 def _unpack_block(packed_block):
-    """[pb//2, bn] planar-packed int4 block -> [pb, bn] int32 (in [-8, 7]).
+    """[pb//2, bn] planar-packed *biased* int4 block -> [pb, bn] int8 in
+    [0, 15] (caller subtracts the bias post-dot).
 
-    Strictly-2D nibble math in int32: Mosaic does not legalize int8 vector
-    shifts, and keeping everything 2D keeps its compile time sane. lo =
-    sign-extended low nibble via the (x ^ 8) - 8 trick; hi = arithmetic
-    shift (the byte's sign bit IS the hi nibble's sign bit).
-    """
-    b = packed_block.astype(jnp.int32)
-    lo = ((b & 0xF) ^ 8) - 8
-    hi = jnp.right_shift(b, 4)
+    SWAR on uint32-bitcast lanes: each mask/shift op processes 4 bytes at
+    once and per-byte positions survive the bitcast round-trip — ~4x fewer
+    VPU ops than per-element int32 math. Biased storage keeps the nibbles
+    unsigned (SWAR cannot sign-extend without cross-byte borrows)."""
+    w32 = pltpu.bitcast(packed_block, jnp.uint32)
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
     return jnp.concatenate([lo, hi], axis=0)
 
 
@@ -63,13 +63,18 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
          else (lambda a, b: w_ref[a:b, :]))
     S = ((lambda a, b: s_ref[0, a:b, :]) if lead
          else (lambda a, b: s_ref[a:b, :]))
+    from ...quantization.tensors import INT4_BIAS
+
     pb = pack_block
     acc = None
     for i in range(k // pb):
-        q = _unpack_block(W(i * pb // 2, (i + 1) * pb // 2))
-        w_c = q.astype(compute_dtype)
+        u = _unpack_block(W(i * pb // 2, (i + 1) * pb // 2))  # biased [0,15]
+        w_c = u.astype(compute_dtype)
         x_c = x_ref[:, i * pb:(i + 1) * pb].astype(compute_dtype)
         part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        # fold the +8 storage bias out: dot(x, u-8) = dot(x, u) - 8*rowsum(x)
+        part = part - INT4_BIAS * jnp.sum(
+            x_c.astype(jnp.float32), axis=1, keepdims=True)
         if group_size:
             part = part * S(i, i + 1)      # post-dot grouped scale
         acc = part if acc is None else acc + part
@@ -125,7 +130,7 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
     if m_p % bm:
         bm = _pick_tile(m_p, (128, 64, 32, 16, 8))
     if bn is None:
-        # keep the double-buffered weight panel under ~8 MB of VMEM
+        # keep the double-buffered weight panel under ~6 MB of VMEM
         budget = 6 * 1024 * 1024
         for cand in (2048, 1024, 512, 256, 128):
             if n % cand == 0 and 2 * k * cand * w_bytes_per_el <= budget:

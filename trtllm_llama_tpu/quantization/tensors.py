@@ -59,39 +59,42 @@ def default_pack_block(k: int, group_size: int = 0) -> int:
     raise ValueError(f"K={k} must be even for int4 packing")
 
 
+INT4_BIAS = 8   # nibbles are stored biased-unsigned: u = q + 8 in [0, 15]
+
+
 def pack_int4(q, pack_block: int):
     """Pack int values in [-8, 7] along axis -2 (K) into int8 bytes,
-    *planar within each pack_block rows* (the TPU-friendly layout).
+    *planar within each pack_block rows* with *biased-unsigned* nibbles
+    (u = q + 8): the TPU-friendly layout.
 
     Within block b (logical rows [b*pb, (b+1)*pb)), packed row r holds
-    lo = q[b*pb + r] and hi = q[b*pb + pb/2 + r]. The kernel-side unpack is
-    then shift/mask + a contiguous concat — no sublane interleave. This
-    offline layout choice is our analogue of the reference's
-    preprocess_weights_for_mixed_gemm arch-specific shuffling
-    (cutlass_preprocessors.cpp).
+    lo = u[b*pb + r] and hi = u[b*pb + pb/2 + r]. The kernel-side unpack is
+    then two SWAR mask/shift ops on uint32-bitcast lanes + a contiguous
+    concat — no sublane interleave, no per-byte sign extension (the bias is
+    folded out after the dot as -8 * rowsum(x), which is per-row scalar
+    work). This offline layout choice is our analogue of the reference's
+    preprocess_weights_for_mixed_gemm shuffling (cutlass_preprocessors.cpp).
     """
     k, n = q.shape[-2], q.shape[-1]
     pb = pack_block
     assert pb % 2 == 0 and k % pb == 0, (k, pb)
-    qb = q.reshape(*q.shape[:-2], k // pb, pb, n)
-    lo = qb[..., : pb // 2, :].astype(jnp.uint8) & 0xF
-    hi = (qb[..., pb // 2:, :].astype(jnp.uint8) & 0xF) << 4
+    u = (q.astype(jnp.int32) + INT4_BIAS).astype(jnp.uint8)   # [0, 15]
+    ub = u.reshape(*q.shape[:-2], k // pb, pb, n)
+    lo = ub[..., : pb // 2, :] & 0xF
+    hi = (ub[..., pb // 2:, :] & 0xF) << 4
     packed = (lo | hi).astype(jnp.int8)
     return packed.reshape(*q.shape[:-2], k // 2, n)
 
 
 def unpack_int4(packed, pack_block: int):
-    """Inverse of pack_int4: [..., K//2, N] -> [..., K, N] int8 in [-8, 7].
-
-    Pure shift/mask on int8 lanes + contiguous concat per block; used
-    verbatim inside the Pallas matmul kernel.
-    """
+    """Inverse of pack_int4: [..., K//2, N] -> [..., K, N] int8 in [-8, 7]."""
     pb = pack_block
     k2, n = packed.shape[-2], packed.shape[-1]
-    b = packed.reshape(*packed.shape[:-2], (2 * k2) // pb, pb // 2, n)
-    lo = jnp.right_shift(jnp.left_shift(b, 4), 4)   # sign-extend low nibble
-    hi = jnp.right_shift(b, 4)                      # arithmetic shift
-    out = jnp.concatenate([lo, hi], axis=-2)        # [..., nb, pb, n]
+    u = packed.astype(jnp.uint8)
+    b = u.reshape(*packed.shape[:-2], (2 * k2) // pb, pb // 2, n)
+    lo = (b & 0xF).astype(jnp.int32) - INT4_BIAS
+    hi = (b >> 4).astype(jnp.int32) - INT4_BIAS
+    out = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
     return out.reshape(*packed.shape[:-2], 2 * k2, n)
 
 
