@@ -1,0 +1,32 @@
+"""Multi-host helpers on the virtual 8-device mesh."""
+
+import jax
+import numpy as np
+
+from trtllm_llama_tpu.parallel.multihost import (
+    is_scheduler_host, pod_mapping, pod_mesh,
+)
+
+
+def test_pod_mesh_shapes():
+    mesh = pod_mesh(tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    mapping = pod_mapping(mesh)
+    assert mapping.dp == 2 and mapping.tp == 4
+
+
+def test_pod_mesh_default_covers_all_devices():
+    mesh = pod_mesh()
+    assert mesh.shape["dp"] * mesh.shape["tp"] == jax.device_count()
+
+
+def test_pod_mesh_bad_factorization():
+    try:
+        pod_mesh(tp=3)
+        assert False
+    except ValueError:
+        pass
+
+
+def test_scheduler_host():
+    assert is_scheduler_host() is True   # single-process test env
