@@ -15,11 +15,27 @@ Env knobs:
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from trtllm_llama_tpu.utils.compile_cache import enable_compile_cache
+
+# TRT-engine-file analogue: repeat runs (driver reruns, retries after a
+# transient tunnel failure) skip the multi-minute 7B XLA compile entirely.
+enable_compile_cache()
+
+_MAX_ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+
+
+def _emit(payload: dict) -> None:
+    """Print the one JSON line the driver parses (always, even on failure)."""
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 # A10 reference Task-B latencies for 50 new tokens, bs1 in8 (BASELINE.md)
 _BASELINE_TOKS_PER_S = {
@@ -109,22 +125,18 @@ def serving_bench(config_name: str):
     done = eng.run_to_completion()
     dt = time.perf_counter() - t0
     total_tokens = sum(len(d.output_ids) for d in done.values())
-    print(json.dumps({
+    _emit({
         "metric": f"serving throughput (LLaMA-7B {config_name}, "
                   f"{slots} slots, {n_req} reqs, in{in_len} out{out_len})",
         "value": round(total_tokens / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching
-    }))
+    })
 
 
-def main():
+def latency_bench(config_name: str):
     from trtllm_llama_tpu.runtime.sampling import SamplingConfig
 
-    config_name = os.environ.get("BENCH_CONFIG", "int8")
-    if os.environ.get("BENCH_MODE") == "serving":
-        serving_bench(config_name)
-        return
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     in_len = int(os.environ.get("BENCH_IN", "8"))
     out_len = int(os.environ.get("BENCH_OUT", "50"))
@@ -133,13 +145,29 @@ def main():
     ids = np.random.default_rng(0).integers(3, cfg.vocab_size, (batch, in_len))
     scfg = SamplingConfig(end_id=-1)  # fixed-length decode for stable timing
 
-    # warmup/compile
-    sess.generate(ids, max_new_tokens=out_len, sampling=scfg)
+    def one_run():
+        sess.generate(ids, max_new_tokens=out_len, sampling=scfg)
+
+    # warmup/compile — a transient tunnel failure here must not kill the
+    # round's scoreboard (round 1's BENCH artifact was exactly that: rc=1
+    # from one FAILED_PRECONDITION inside np.asarray). Re-create the session
+    # and retry; the persistent compile cache makes retries cheap.
+    for attempt in range(_MAX_ATTEMPTS):
+        try:
+            one_run()
+            break
+        except jax.errors.JaxRuntimeError:
+            traceback.print_exc(file=sys.stderr)
+            if attempt == _MAX_ATTEMPTS - 1:
+                raise
+            time.sleep(5.0)
+            cfg, sess = build_engine(config_name, batch,
+                                     max_len=in_len + out_len + 16)
     # timed runs
     n_runs = 3
     t0 = time.perf_counter()
     for _ in range(n_runs):
-        out = sess.generate(ids, max_new_tokens=out_len, sampling=scfg)
+        one_run()
     dt = (time.perf_counter() - t0) / n_runs
     toks_per_s = batch * out_len / dt
 
@@ -148,13 +176,38 @@ def main():
     table = (_BASELINE_TASK_A_TOKS_PER_S if in_len >= 512
              else _BASELINE_TOKS_PER_S)
     vs = toks_per_s / table[config_name]
-    print(json.dumps({
+    _emit({
         "metric": f"tokens/sec/chip (LLaMA-7B {config_name}, "
                   f"bs{batch} in{in_len} out{out_len})",
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 3),
-    }))
+    })
+
+
+def main():
+    config_name = os.environ.get("BENCH_CONFIG", "int8")
+    mode = os.environ.get("BENCH_MODE", "latency")
+    last_err = None
+    for attempt in range(_MAX_ATTEMPTS):
+        try:
+            if mode == "serving":
+                serving_bench(config_name)
+            else:
+                latency_bench(config_name)
+            return
+        except Exception as e:  # noqa: BLE001 — always emit the JSON line
+            last_err = e
+            traceback.print_exc(file=sys.stderr)
+            time.sleep(5.0)
+    _emit({
+        "metric": f"tokens/sec/chip (LLaMA-7B {config_name})",
+        "value": None,
+        "unit": "tokens/s",
+        "vs_baseline": None,
+        "error": f"{type(last_err).__name__}: {last_err}",
+    })
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -64,9 +64,11 @@ def _dequant(x, cache: PagedKVCache, layer, dtype):
 
 def paged_write_prefill_at(cache: PagedKVCache, layer, k, v) -> PagedKVCache:
     """Scatter a prompt's K/V ([B, S, H, D], S <= MB*BS) into each
-    sequence's blocks. Pad blocks (-1) are redirected to a scratch slot
-    (block 0 row of a dedicated overflow region is avoided by clipping:
-    callers must reserve block indices so -1 writes are masked out)."""
+    sequence's blocks. Invalid table entries (-1) are redirected to the
+    pool's LAST block, which is reserved as a trash block by convention
+    (allocators hand out [0, nb-1); ServingEngine sizes the pool +1).
+    A read-modify-write mask into a live block would race under XLA's
+    undefined scatter ordering when duplicate indices appear."""
     l, nb, h, bs, d = cache.pool_k.shape
     b, s, _, _ = k.shape
     n_full = -(-s // bs)
@@ -79,27 +81,23 @@ def paged_write_prefill_at(cache: PagedKVCache, layer, k, v) -> PagedKVCache:
     vb = jnp.swapaxes(v.reshape(b, n_full, bs, h, d), 2, 3)
     tables = cache.tables[:, :n_full]                     # [B, n_full]
     valid = tables >= 0
-    flat_idx = jnp.where(valid, tables, 0).reshape(-1)    # [B*n_full]
+    flat_idx = jnp.where(valid, tables, nb - 1).reshape(-1)  # [B*n_full]
     kb = _quant(kb.reshape(b * n_full, h, bs, d), cache, layer)
     vb = _quant(vb.reshape(b * n_full, h, bs, d), cache, layer)
-    # masked scatter: invalid rows write their current content back
-    mask = valid.reshape(-1, 1, 1, 1)
-    cur_k = cache.pool_k[layer, flat_idx]
-    cur_v = cache.pool_v[layer, flat_idx]
-    pk = cache.pool_k.at[layer, flat_idx].set(jnp.where(mask, kb, cur_k))
-    pv = cache.pool_v.at[layer, flat_idx].set(jnp.where(mask, vb, cur_v))
+    pk = cache.pool_k.at[layer, flat_idx].set(kb)
+    pv = cache.pool_v.at[layer, flat_idx].set(vb)
     return cache._replace(pool_k=pk, pool_v=pv)
 
 
 def paged_write_decode_at(cache: PagedKVCache, layer, k, v,
                           positions) -> PagedKVCache:
     """Write one token per sequence: k/v [B, H, D] at positions [B]."""
-    bs = cache.pool_k.shape[3]
+    nb, bs = cache.pool_k.shape[1], cache.pool_k.shape[3]
     b = k.shape[0]
     bidx = jnp.arange(b)
     blk = jnp.take_along_axis(cache.tables,
                               (positions // bs)[:, None], axis=1)[:, 0]
-    blk = jnp.maximum(blk, 0)
+    blk = jnp.where(blk < 0, nb - 1, blk)   # -1 -> reserved trash block
     off = positions % bs
     pk = cache.pool_k.at[layer, blk, :, off, :].set(_quant(k, cache, layer))
     pv = cache.pool_v.at[layer, blk, :, off, :].set(_quant(v, cache, layer))

@@ -58,6 +58,10 @@ def w8a8_matmul_2d(x_q, w_q, s_x, s_w, interpret=False):
     s_w: f32 [N] or [1] per-channel/tensor. Returns f32 [M, N]."""
     m, k = x_q.shape
     n = w_q.shape[-1]
+    # static-scale SQ passes a scalar/[1,1] s_x — broadcast to per-row before
+    # padding (a [1,1] input would pad to [1+pad_m,1] and fail the later
+    # broadcast_to((m_p, 128)))
+    s_x = jnp.broadcast_to(jnp.asarray(s_x, jnp.float32).reshape(-1, 1), (m, 1))
     pad_m = (-m) % 32                    # int8 sublane tile
     if pad_m:
         x_q = jnp.pad(x_q, ((0, pad_m), (0, 0)))
@@ -94,7 +98,8 @@ def w8a8_matmul(x_q, w_q, s_x, s_w, interpret=False):
     """Batched: x_q [..., K] int8, s_x [..., 1] -> [..., N] f32."""
     lead = x_q.shape[:-1]
     k = x_q.shape[-1]
-    out = w8a8_matmul_2d(x_q.reshape(-1, k), w_q, s_x.reshape(-1, 1),
+    out = w8a8_matmul_2d(x_q.reshape(-1, k), w_q,
+                         jnp.asarray(s_x, jnp.float32).reshape(-1, 1),
                          s_w, interpret=interpret)
     return out.reshape(*lead, out.shape[-1])
 
@@ -104,6 +109,7 @@ def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False):
     the model's layer scan — no per-layer weight materialization)."""
     m, k = x_q.shape
     l, _, n = w_q.shape
+    s_x = jnp.broadcast_to(jnp.asarray(s_x, jnp.float32).reshape(-1, 1), (m, 1))
     pad_m = (-m) % 32
     if pad_m:
         x_q = jnp.pad(x_q, ((0, pad_m), (0, 0)))
@@ -154,6 +160,6 @@ def w8a8_matmul_stacked(x_q, w_q, s_x, s_w, layer, interpret=False):
     lead = x_q.shape[:-1]
     k = x_q.shape[-1]
     out = w8a8_matmul_stacked_2d(x_q.reshape(-1, k), w_q,
-                                 s_x.reshape(-1, 1), s_w, layer,
-                                 interpret=interpret)
+                                 jnp.asarray(s_x, jnp.float32).reshape(-1, 1),
+                                 s_w, layer, interpret=interpret)
     return out.reshape(*lead, out.shape[-1])

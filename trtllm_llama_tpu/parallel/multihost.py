@@ -34,17 +34,24 @@ def initialize(coordinator_address: Optional[str] = None,
     """Bootstrap the multi-host runtime. On TPU pods all arguments are
     auto-discovered from the metadata server; set them explicitly for
     CPU/GPU multi-process tests."""
-    if jax.process_count() > 1:
+    # Detect prior initialization WITHOUT touching jax.process_count():
+    # process_count() instantiates the local backend, after which
+    # jax.distributed.initialize() raises — every host would then silently
+    # fall through to single-process mode on a real pod.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return                      # already initialized
+    explicit = coordinator_address is not None
     kwargs = {}
-    if coordinator_address is not None:
+    if explicit:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        # single-process run (tests, one host): nothing to do
-        pass
+        if explicit:
+            raise                   # caller asked for a real cluster — fail loud
+        # auto-discovery on a single host (tests, one process): nothing to do
 
 
 def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None) -> Mesh:

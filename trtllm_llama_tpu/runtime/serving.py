@@ -42,6 +42,10 @@ class ServingEngine:
                  kv_scales=None, decode_chunk: int = 8, model=None,
                  paged: bool = False, block_size: int = 64,
                  num_blocks: Optional[int] = None):
+        import os
+        if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
+            from ..utils.compile_cache import enable_compile_cache
+            enable_compile_cache()
         self.cfg = cfg
         self.model = model if model is not None else llama
         self.params = params
@@ -50,6 +54,10 @@ class ServingEngine:
         self.decode_chunk = decode_chunk
         self.max_slots = engine_cfg.max_batch_size
         self.paged = paged
+        if jax.default_backend() != "cpu":
+            # mirror GenerationSession: hot matmuls through Pallas kernels
+            from ..ops.linear import enable_pallas_kernels
+            enable_pallas_kernels(True)
 
         if paged:
             from ..ops.paged_attention import init_paged_caches
@@ -83,17 +91,22 @@ class ServingEngine:
         self.slot_tokens = jnp.zeros((self.max_slots,), jnp.int32)
         self.slot_active = jnp.zeros((self.max_slots,), bool)
         self._fn_cache = {}
+        self._key = jax.random.PRNGKey(0)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     # ------------------------------------------------------------------
     def _prefill_fn(self, bucket: int):
         cfg, scfg, model = self.cfg, self.scfg, self.model
 
-        def fn(params, caches, ids, length, slot):
+        def fn(params, caches, ids, length, slot, key):
             scratch = model.init_caches(cfg, 1, bucket,
                                         self._kv_scales)
             logits, scratch = model.forward_prefill(
                 params, cfg, ids, length, scratch)
-            token = sample_step(logits, scfg)
+            token = sample_step(logits, scfg, key)
             # insert the slot row: [L, 1, H, bucket, D] into the big cache
             def insert(big, small):
                 return jax.lax.dynamic_update_slice(
@@ -108,13 +121,13 @@ class ServingEngine:
         cfg, scfg = self.cfg, self.scfg
         model = self.model
 
-        def fn(params, caches, ids, length, table_row):
+        def fn(params, caches, ids, length, table_row, key):
             # batch-1 view sharing the pools; scatters go to this request's
             # blocks
             view = caches._replace(tables=table_row[None, :])
             logits, view = model.forward_prefill(params, cfg, ids, length,
                                                  view)
-            token = sample_step(logits, scfg)
+            token = sample_step(logits, scfg, key)
             return caches._replace(pool_k=view.pool_k,
                                    pool_v=view.pool_v), token[0]
 
@@ -123,14 +136,14 @@ class ServingEngine:
     def _decode_fn(self, n_steps: int):
         cfg, scfg, model = self.cfg, self.scfg, self.model
 
-        def fn(params, caches, tokens, lens, active):
+        def fn(params, caches, tokens, lens, active, key):
             out = jnp.zeros((self.max_slots, n_steps), jnp.int32)
 
             def body(i, state):
                 tokens, lens, caches, active, out = state
                 logits, caches = model.forward_decode(
                     params, cfg, tokens, lens, caches)
-                nxt = sample_step(logits, scfg)
+                nxt = sample_step(logits, scfg, jax.random.fold_in(key, i))
                 nxt = jnp.where(active, nxt, scfg.pad_id)
                 out = out.at[:, i].set(nxt)
                 still = active & (nxt != scfg.end_id)
@@ -204,12 +217,13 @@ class ServingEngine:
                 self.caches, token = fn(
                     self.params, self.caches, jnp.asarray(ids),
                     jnp.asarray([len(req.input_ids)], jnp.int32),
-                    jnp.asarray(row))
+                    jnp.asarray(row), self._next_key())
             else:
                 fn = self._get(("prefill", bucket), self._prefill_fn, bucket)
                 self.caches, token = fn(
                     self.params, self.caches, jnp.asarray(ids),
-                    jnp.asarray([len(req.input_ids)], jnp.int32), req.slot)
+                    jnp.asarray([len(req.input_ids)], jnp.int32), req.slot,
+                    self._next_key())
             token = int(token)
             self.slot_lens = self.slot_lens.at[req.slot].set(
                 len(req.input_ids))
@@ -243,7 +257,7 @@ class ServingEngine:
         fn = self._get(("decode", chunk), self._decode_fn, chunk)
         self.caches, self.slot_tokens, self.slot_lens, self.slot_active, out \
             = fn(self.params, self.caches, self.slot_tokens, self.slot_lens,
-                 self.slot_active)
+                 self.slot_active, self._next_key())
         out = np.asarray(out)
 
         for slot, req in slot_of.items():

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -59,6 +60,9 @@ class GenerationSession:
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  mapping: Optional[Mapping] = None, mesh=None,
                  kv_scales=None, model=None):
+        if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
+            from ..utils.compile_cache import enable_compile_cache
+            enable_compile_cache()   # TRT-engine-file analogue (VERDICT #7)
         self.cfg = cfg
         self.model = model if model is not None else llama
         self.engine_cfg = engine_cfg

@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache — the TPU analogue of TRT's timing cache
+and serialized engine file (reference: tensorrt_llm/builder.py:204-267).
+
+The reference amortizes engine compilation by serializing the built engine to
+disk; on TPU the equivalent is XLA's persistent compilation cache: the first
+process pays the full compile, later processes deserialize the executable.
+Call `enable_compile_cache()` once near program start (idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache. Returns the cache dir.
+
+    Priority: explicit arg > $TLLM_CACHE_DIR > <repo>/.jax_cache next to the
+    package > ~/.cache/trtllm_llama_tpu. Safe to call multiple times.
+    """
+    global _enabled
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("TLLM_CACHE_DIR")
+    if cache_dir is None:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        if os.access(pkg_root, os.W_OK):
+            cache_dir = os.path.join(pkg_root, ".jax_cache")
+        else:
+            cache_dir = os.path.expanduser("~/.cache/trtllm_llama_tpu")
+    if not _enabled:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache even small kernels: a 7B decode step is one huge executable,
+        # but pallas/Mosaic sub-compiles and tiny shape-probe fns also add up
+        # through the ~23ms-per-dispatch axon tunnel.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _enabled = True
+    return cache_dir
