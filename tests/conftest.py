@@ -11,6 +11,11 @@ forces JAX_PLATFORMS=axon, so we must override via jax.config *after* import
 
 import os
 
+# Keep tests hermetic: never read/write the persistent compile cache (it is
+# the bench/TPU path's TRT-engine-file analogue; sharing it with CPU test
+# executables risks cross-machine AOT feature mismatches).
+os.environ["TLLM_NO_COMPILE_CACHE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -155,3 +155,43 @@ def test_prefill_kernel_nondivisible_s(s):
     np.testing.assert_allclose(np.asarray(out)[0, :s - 1],
                                np.asarray(expected)[0, :s - 1],
                                atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+@pytest.mark.parametrize("kv_int8", [False, True])
+@pytest.mark.parametrize("s", [64, 96])
+def test_dma_decode_kernel_matches_reference(hq, hkv, kv_int8, s):
+    from trtllm_llama_tpu.ops.pallas.dma_decode_attention import (
+        dma_decode_attention,
+    )
+
+    rng = np.random.default_rng(6)
+    l, b, d = 2, 2, 128
+    layer = 1
+    if kv_int8:
+        kc = rng.integers(-127, 128, (l, b, hkv, s, d)).astype(np.int8)
+        vc = rng.integers(-127, 128, (l, b, hkv, s, d)).astype(np.int8)
+        scale = np.full((l,), 0.02, np.float32)
+    else:
+        kc = rng.standard_normal((l, b, hkv, s, d)).astype(np.float32)
+        vc = rng.standard_normal((l, b, hkv, s, d)).astype(np.float32)
+        scale = np.ones((l,), np.float32)
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    kn = rng.standard_normal((b, hkv, d)).astype(np.float32)
+    vn = rng.standard_normal((b, hkv, d)).astype(np.float32)
+    pos = np.asarray([5, s - 1], np.int32)   # incl. last-row window edge
+
+    out, kc2, vc2 = dma_decode_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(scale), layer,
+        jnp.asarray(pos), interpret=True)
+
+    cache = ref.KVCache(jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(scale))
+    cache = ref.write_kv_decode_at(cache, layer, jnp.asarray(kn),
+                                   jnp.asarray(vn), jnp.asarray(pos))
+    expected = ref.decode_attention_at(jnp.asarray(q), cache, layer,
+                                       jnp.asarray(pos) + 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(kc2), np.asarray(cache.k), atol=1)
+    np.testing.assert_allclose(np.asarray(vc2), np.asarray(cache.v), atol=1)

@@ -37,8 +37,9 @@ from ..ops.paged_attention import (
     PagedKVCache, paged_decode_attention_at, paged_write_decode_at,
     paged_write_prefill_at,
 )
-from ..ops.linear import dense, embedding_lookup
-from ..ops.norm import rms_norm
+from ..ops.linear import dense, dense_prequant, embedding_lookup
+from ..ops.norm import rms_norm, rms_norm_quant
+from ..quantization.tensors import SQWeight
 from ..ops.rope import apply_rope, rope_table, take_rope
 from ..utils.debugging import debug_output
 
@@ -84,7 +85,10 @@ def init_caches(cfg: ModelConfig, batch: int, max_len: int,
     kv_scales: optional [L] calibrated int8-KV scales (converter output).
     """
     kv_dtype = jnp.int8 if cfg.quant_mode.has_int8_kv_cache() else cfg.jnp_dtype
-    max_len = -(-max_len // 8) * 8   # sublane-align for in-kernel KV writes
+    # sublane-align the cache length so the decode kernels' aligned-window
+    # writes (8 rows bf16 / 32 rows int8) stay in bounds
+    align = 32 if kv_dtype == jnp.int8 else 8
+    max_len = -(-max_len // align) * align
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if kv_scales is None:
         kv_scales = jnp.ones((cfg.num_layers,), jnp.float32)
@@ -105,10 +109,24 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     stacked KV cache is updated in place at this layer.
     """
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
-    h = rms_norm(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
-    q = _split_heads(dense(h, lw["wq"], layer=layer), cfg.num_heads, cfg.head_dim)
-    k = _split_heads(dense(h, lw["wk"], layer=layer), cfg.num_kv_heads, cfg.head_dim)
-    v = _split_heads(dense(h, lw["wv"], layer=layer), cfg.num_kv_heads, cfg.head_dim)
+    if _sq_per_token(lw["wq"]):
+        # fused RMSNorm -> int8 (+ per-token scales): quantize ONCE and fan
+        # out to the qkv group — the reference's SmoothQuantRmsNorm feeding
+        # smoothQuantGemmPlugin (layernormQuantizationPlugin.cpp:124-170)
+        h_q, h_s = rms_norm_quant(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
+        proj = lambda w: dense_prequant(h_q, h_s, w, cfg.jnp_dtype, layer,
+                                        part="col")
+        q = _split_heads(proj(lw["wq"]), cfg.num_heads, cfg.head_dim)
+        k = _split_heads(proj(lw["wk"]), cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(proj(lw["wv"]), cfg.num_kv_heads, cfg.head_dim)
+    else:
+        h = rms_norm(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
+        q = _split_heads(dense(h, lw["wq"], layer=layer, part="col"),
+                         cfg.num_heads, cfg.head_dim)
+        k = _split_heads(dense(h, lw["wk"], layer=layer, part="col"),
+                         cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(dense(h, lw["wv"], layer=layer, part="col"),
+                         cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     paged = isinstance(caches, PagedKVCache)
@@ -128,17 +146,28 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
         attn = prefill_attention(q, k, v, seq_lens)
     attn = attn.reshape(*attn.shape[:-2], cfg.num_heads * cfg.head_dim)
     debug_output("attention_output", attn)
-    return x + dense(attn, lw["wo"], layer=layer), caches
+    return x + dense(attn, lw["wo"], layer=layer, part="row"), caches
+
+
+def _sq_per_token(w) -> bool:
+    return isinstance(w, SQWeight) and w.per_token
 
 
 def _mlp_block(cfg: ModelConfig, lw, layer, x):
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
-    h = rms_norm(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
-    # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
-    g = dense(h, lw["w_gate"], layer=layer)
-    u = dense(h, lw["w_up"], layer=layer)
+    if _sq_per_token(lw["w_gate"]):
+        h_q, h_s = rms_norm_quant(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
+        g = dense_prequant(h_q, h_s, lw["w_gate"], cfg.jnp_dtype, layer,
+                           part="col")
+        u = dense_prequant(h_q, h_s, lw["w_up"], cfg.jnp_dtype, layer,
+                           part="col")
+    else:
+        h = rms_norm(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
+        # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
+        g = dense(h, lw["w_gate"], layer=layer, part="col")
+        u = dense(h, lw["w_up"], layer=layer, part="col")
     out = x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                    lw["w_down"], layer=layer)
+                    lw["w_down"], layer=layer, part="row")
     debug_output("decoder_layer_output", out)
     return out
 

@@ -124,6 +124,11 @@ def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
     """
     from .registry import KERNELS, kernel
     mode = KERNELS.get("decode_attn_mode", "xla")
+    if mode == "dma" and kernel("dma_decode_attention") is not None:
+        k_fn = kernel("dma_decode_attention")
+        out, kc, vc = k_fn(q, k_new, v_new, cache.k, cache.v, cache.scale,
+                           layer, positions, sm_scale=scale)
+        return out, KVCache(kc, vc, cache.scale)
     if mode == "fused" and kernel("fused_decode_attention") is not None:
         k_fn = kernel("fused_decode_attention")
         out, kc, vc = k_fn(q, k_new, v_new, cache.k, cache.v, cache.scale,

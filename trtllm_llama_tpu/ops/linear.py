@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..quantization.tensors import (
     SQWeight, WOQWeight, quantize_per_token, quantize_static, unpack_int4,
@@ -30,6 +31,26 @@ from ..quantization.tensors import (
 
 from .registry import KERNELS as _PALLAS
 from .registry import enable_pallas_kernels  # noqa: F401 (re-export)
+
+try:                                    # jax>=0.4.35 moved shard_map
+    from jax import shard_map as _shard_map
+except ImportError:                     # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _kern(name: str):
+    """Kernel fn for the UNSHARDED fast paths (None while a mesh is active)."""
+    if not _PALLAS["enabled"] or _PALLAS.get("mesh") is not None:
+        return None
+    return _PALLAS.get(name)
+
+
+def _active_mesh():
+    """Mesh for the shard_map'd dense paths (None => single-device)."""
+    m = _PALLAS.get("mesh")
+    if m is None or not _PALLAS["enabled"]:
+        return None
+    return m if "tp" in m.axis_names else None
 
 
 def _index_layer(w, layer):
@@ -44,7 +65,7 @@ def _index_layer(w, layer):
     return idx(w)
 
 
-def dense(x, w, out_dtype=None, layer=None):
+def dense(x, w, out_dtype=None, layer=None, part=None):
     """y = x @ w for any supported weight container.
 
     x: [..., K]; w: jnp array [K, N] | WOQWeight | SQWeight; returns [..., N].
@@ -52,14 +73,29 @@ def dense(x, w, out_dtype=None, layer=None):
     XLA fuses the dynamic-slice into its matmul read, and the Pallas kernels
     take the stacked array + index directly (scalar prefetch) so the sliced
     weight is never materialized.
+
+    `part` declares the weight's TP role ('col' output-sharded / 'row'
+    input-sharded, the reference's ColumnLinear/RowLinear): under an active
+    mesh the quantized kernels are wrapped in shard_map with the matching
+    PartitionSpecs (GSPMD cannot partition a bare pallas_call) and the row
+    psum happens inside (reference linear.py:131-137 ncclAllReduce).
     """
+    mesh = _active_mesh()
+    if (mesh is not None and part in ("col", "row") and layer is not None
+            and isinstance(w, WOQWeight) and _PALLAS["woq_matmul_stacked"]):
+        return _sharded_woq(x, w, layer, part, mesh, out_dtype or x.dtype)
+    if (mesh is not None and part in ("col", "row") and layer is not None
+            and isinstance(w, SQWeight) and w.per_token
+            and _PALLAS["w8a8_matmul_stacked"]):
+        x_q, s_x = quantize_per_token(x)   # global per-token amax (pre-shard)
+        return _sharded_sq(x_q, s_x, w, layer, part, mesh,
+                           out_dtype or x.dtype)
     if layer is not None:
-        if (isinstance(w, WOQWeight)
-                and _PALLAS["enabled"] and _PALLAS["woq_matmul_stacked"]):
+        if isinstance(w, WOQWeight) and _kern("woq_matmul_stacked"):
             out_dtype = out_dtype or x.dtype
             return _PALLAS["woq_matmul_stacked"](x, w, layer).astype(out_dtype)
         if (isinstance(w, SQWeight) and w.per_token
-                and _PALLAS["enabled"] and _PALLAS["w8a8_matmul_stacked"]):
+                and _kern("w8a8_matmul_stacked")):
             out_dtype = out_dtype or x.dtype
             x_q, s_x = quantize_per_token(x)
             return _PALLAS["w8a8_matmul_stacked"](
@@ -81,8 +117,7 @@ def _dense_woq(x, w: WOQWeight, out_dtype=None):
     # lax.scan a pallas operand forces materializing the sliced layer weight
     # (an extra HBM round trip), which costs more than the kernel saves —
     # until the stacked scalar-prefetch kernel variant lands.
-    if (_PALLAS["enabled"] and _PALLAS["woq_matmul"] is not None
-            and w.w_bits == 4):
+    if _kern("woq_matmul") is not None and w.w_bits == 4:
         y = _PALLAS["woq_matmul"](x, w)
         return y.astype(out_dtype)
     q = (unpack_int4(w.qweight, w.pack_block) if w.w_bits == 4
@@ -102,13 +137,103 @@ def _dense_woq(x, w: WOQWeight, out_dtype=None):
     return y.astype(out_dtype)
 
 
+def _lead_specs(x, mesh):
+    """Leading-dim specs for an activation: batch over 'dp' when divisible."""
+    b_ax = ("dp" if ("dp" in mesh.axis_names
+                     and x.shape[0] % mesh.shape["dp"] == 0) else None)
+    return (b_ax,) + (None,) * (x.ndim - 2)
+
+
+def _sharded_woq(x, w: WOQWeight, layer, part, mesh, out_dtype):
+    lead = _lead_specs(x, mesh)
+    if part == "col":
+        x_spec = P(*lead, None)
+        q_spec = P(None, None, "tp")
+        s_spec = P(*([None] * (w.scale.ndim - 1)), "tp")
+        o_spec = P(*lead, "tp")
+    else:
+        x_spec = P(*lead, "tp")
+        q_spec = P(None, "tp", None)
+        s_spec = (P(None, "tp", None) if w.scale.ndim >= 3   # grouped [L,K/g,N]
+                  else P(None, None))                        # per-chan: replic.
+        o_spec = P(*lead, None)
+    w_specs = WOQWeight(q_spec, s_spec, w.w_bits, w.group_size, w.pack_block)
+
+    def f(xl, wl, lyr):
+        y = _PALLAS["woq_matmul_stacked"](xl, wl, lyr)
+        if part == "row":
+            y = jax.lax.psum(y, "tp")
+        return y.astype(out_dtype)
+
+    return _shard_map(f, mesh=mesh, in_specs=(x_spec, w_specs, P()),
+                      out_specs=o_spec, check_vma=False)(
+        x, w, jnp.asarray(layer, jnp.int32))
+
+
+def _sharded_sq(x_q, s_x, w: SQWeight, layer, part, mesh, out_dtype):
+    lead = _lead_specs(x_q, mesh)
+    if part == "col":
+        xq_spec, sw_spec, o_spec = (P(*lead, None), P(None, "tp"),
+                                    P(*lead, "tp"))
+    else:
+        xq_spec, sw_spec, o_spec = (P(*lead, "tp"), P(None, None),
+                                    P(*lead, None))
+    qw_spec = P(None, "tp", None) if part == "row" else P(None, None, "tp")
+    sx_spec = P(*lead, None)
+
+    def f(xl, sl, qw, sw, lyr):
+        y = _PALLAS["w8a8_matmul_stacked"](xl, qw, sl, sw, lyr)
+        if part == "row":
+            y = jax.lax.psum(y, "tp")
+        return y.astype(out_dtype)
+
+    return _shard_map(
+        f, mesh=mesh,
+        in_specs=(xq_spec, sx_spec, qw_spec, sw_spec, P()),
+        out_specs=o_spec, check_vma=False,
+    )(x_q, s_x, w.qweight, w.scale_w, jnp.asarray(layer, jnp.int32))
+
+
+def dense_prequant(x_q, s_x, w, out_dtype=None, layer=None, part=None):
+    """y = dequant(x_q) @ w for an already-quantized activation.
+
+    Entry point for the fused rmsnorm_quant -> W8A8 path (the reference's
+    SmoothQuantRmsNorm feeding smoothQuantGemmPlugin): the caller quantized
+    once (inside the norm kernel) and fans the int8 activation out to the
+    projection group (qkv / gate+up), skipping per-dense re-quantization.
+    Only valid for per-token SQWeight.
+    """
+    assert isinstance(w, SQWeight) and w.per_token
+    mesh = _active_mesh()
+    if (mesh is not None and part in ("col", "row") and layer is not None
+            and _PALLAS["w8a8_matmul_stacked"]):
+        return _sharded_sq(x_q, s_x, w, layer, part, mesh,
+                           out_dtype or jnp.bfloat16)
+    if layer is not None:
+        if _kern("w8a8_matmul_stacked"):
+            out_dtype = out_dtype or jnp.bfloat16
+            return _PALLAS["w8a8_matmul_stacked"](
+                x_q, w.qweight, s_x, w.scale_w, layer).astype(out_dtype)
+        w = _index_layer(w, layer)
+    out_dtype = out_dtype or jnp.bfloat16
+    if _kern("w8a8_matmul"):
+        return _PALLAS["w8a8_matmul"](x_q, w.qweight, s_x,
+                                      w.scale_w).astype(out_dtype)
+    acc = jax.lax.dot_general(
+        x_q, w.qweight,
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s_x * w.scale_w
+    return y.astype(out_dtype)
+
+
 def _dense_sq(x, w: SQWeight, out_dtype=None):
     out_dtype = out_dtype or x.dtype
     if w.per_token:
         x_q, s_x = quantize_per_token(x)
     else:
         x_q, s_x = quantize_static(x, w.scale_x), w.scale_x
-    if _PALLAS["enabled"] and _PALLAS["w8a8_matmul"] is not None:
+    if _kern("w8a8_matmul"):
         return _PALLAS["w8a8_matmul"](x_q, w.qweight, s_x, w.scale_w).astype(out_dtype)
     acc = jax.lax.dot_general(
         x_q, w.qweight,

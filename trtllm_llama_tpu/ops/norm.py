@@ -39,7 +39,16 @@ def rms_norm_quant(x, weight, eps: float = 1e-6, smoother=None):
     optional SmoothQuant per-channel activation divisor folded in here (the
     reference folds it into the preceding layernorm weights at convert time;
     we accept either convention).
+
+    Dispatches to the fused Pallas kernel (one VMEM pass, no bf16 HBM
+    round-trip between norm and quant — reference
+    layernormQuantizationPlugin semantics) when kernels are enabled.
     """
+    if smoother is None:
+        from .registry import kernel
+        k_fn = kernel("rmsnorm_quant")
+        if k_fn is not None and x.shape[-1] % 128 == 0:
+            return k_fn(x, weight, eps)
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * (var + eps) ** -0.5 * weight.astype(jnp.float32)

@@ -7,6 +7,7 @@ tests in tests/. Registration is via ops.registry.enable_pallas_kernels().
 from .attention import (
     decode_attention_kernel, fused_decode_attention, prefill_attention_kernel,
 )
+from .dma_decode_attention import dma_decode_attention
 from .rmsnorm_quant import rmsnorm_quant_kernel
 from .w8a8_matmul import w8a8_matmul, w8a8_matmul_stacked
 from .woq_matmul import woq_matmul, woq_matmul_stacked
@@ -19,5 +20,6 @@ def register(registry: dict):
     registry["w8a8_matmul_stacked"] = w8a8_matmul_stacked
     registry["decode_attention"] = decode_attention_kernel
     registry["fused_decode_attention"] = fused_decode_attention
+    registry["dma_decode_attention"] = dma_decode_attention
     registry["prefill_attention"] = prefill_attention_kernel
     registry["rmsnorm_quant"] = rmsnorm_quant_kernel

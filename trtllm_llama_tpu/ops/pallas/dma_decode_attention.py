@@ -1,0 +1,227 @@
+"""Manual-DMA decode attention: HBM-resident KV cache, streamed panels.
+
+Take 2 of the generation-phase fused attention (the reference's hottest
+kernel, decoderMaskedMultiheadAttentionTemplate.h:1336-1650 + the KV write
+invokeTranspose4dBatchMajor). The round-1 kernels lost in-model because the
+Pallas pipeline staged whole [S, D] cache panels through VMEM *and wrote
+them all back* (2x cache traffic per step). This kernel keeps the cache in
+HBM (`pltpu.ANY`) and does its own DMA:
+
+- KV write: one aligned W-row window (W = sublane tile: 8 bf16 / 32 int8)
+  per K and V is read, the new token's row inserted, and written back —
+  ~4 KB of traffic instead of the full panel.
+- Attention: K/V panels stream HBM->VMEM in `chunk`-row slices,
+  double-buffered across a single flattened (head x chunk) loop so the DMA
+  engine never idles at head boundaries; softmax accumulates online
+  (flash-decoding style — the TPU shape of the reference's multi-block
+  split-K mode, decoderMaskedMultiheadAttentionLaunch.h:73-99, which on a
+  single-TensorCore v5e buys DMA/compute overlap rather than SM occupancy).
+- INT8 KV dequantizes in VMEM with the per-layer calibrated scale; HBM
+  traffic stays int8 (the whole point — reference mmha does the same in
+  registers).
+
+Cache layout [L, B, H_kv, S, D] with the layer index scalar-prefetched, so
+the model's lax.scan never slices the cache into a copy; the cache arrays
+are aliased in/out (in-place update, donated by the runtime).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _pick_chunk(s: int, min_align: int) -> int:
+    for c in (512, 256, 128, 64, 32, 16, 8):
+        if c >= min_align and s % c == 0:
+            return c
+    return s
+
+
+def _dma_decode_kernel(lyr_ref, pos_ref, scale_ref, q_ref, kn_ref, vn_ref,
+                       kc_in, vc_in, kc, vc, o_ref,
+                       win_k, win_v, kbuf, vbuf, wsem, ksem, vsem,
+                       *, sm_scale, kv_int8, W, chunk, n_chunks, hkv, r, d):
+    del kc_in, vc_in     # aliased with kc/vc; all access via the out refs
+    b = pl.program_id(0)
+    lyr = lyr_ref[0]
+    pos = pos_ref[b]
+    kv_scale = scale_ref[lyr] if kv_int8 else None
+
+    # ---- 1. KV write: aligned W-row window RMW for all heads at once ----
+    base = pl.multiple_of((pos // W) * W, W)
+    rd_k = pltpu.make_async_copy(
+        kc.at[lyr, b, :, pl.ds(base, W), :], win_k, wsem.at[0])
+    rd_v = pltpu.make_async_copy(
+        vc.at[lyr, b, :, pl.ds(base, W), :], win_v, wsem.at[1])
+    rd_k.start()
+    rd_v.start()
+    if kv_int8:
+        inv = 1.0 / kv_scale
+        k_new = jnp.clip(jnp.round(kn_ref[0].astype(jnp.float32) * inv),
+                         -127, 127).astype(jnp.int8)       # [hkv, d]
+        v_new = jnp.clip(jnp.round(vn_ref[0].astype(jnp.float32) * inv),
+                         -127, 127).astype(jnp.int8)
+    else:
+        k_new = kn_ref[0].astype(win_k.dtype)
+        v_new = vn_ref[0].astype(win_v.dtype)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1) == (pos - base)
+    rd_k.wait()
+    rd_v.wait()
+    win_k[:] = jnp.where(sel, k_new[:, None, :], win_k[:])
+    win_v[:] = jnp.where(sel, v_new[:, None, :], win_v[:])
+    wr_k = pltpu.make_async_copy(
+        win_k, kc.at[lyr, b, :, pl.ds(base, W), :], wsem.at[0])
+    wr_v = pltpu.make_async_copy(
+        win_v, vc.at[lyr, b, :, pl.ds(base, W), :], wsem.at[1])
+    wr_k.start()
+    wr_v.start()
+    wr_k.wait()          # streaming below re-reads this window
+    wr_v.wait()
+
+    # ---- 2. stream K/V panels, online softmax over a flat (h, c) loop ----
+    total = hkv * n_chunks
+
+    def start(it, slot):
+        h = it // n_chunks
+        c = it % n_chunks
+        pltpu.make_async_copy(
+            kc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+            kbuf.at[slot], ksem.at[slot]).start()
+        pltpu.make_async_copy(
+            vc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+            vbuf.at[slot], vsem.at[slot]).start()
+
+    start(0, 0)
+
+    def body(it, carry):
+        m, l, acc = carry
+        slot = it % 2
+
+        @pl.when(it + 1 < total)
+        def _():
+            start(it + 1, (it + 1) % 2)
+
+        h = it // n_chunks
+        c = it % n_chunks
+        pltpu.make_async_copy(kc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+                              kbuf.at[slot], ksem.at[slot]).wait()
+        pltpu.make_async_copy(vc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+                              vbuf.at[slot], vsem.at[slot]).wait()
+        if kv_int8:
+            k = kbuf[slot].astype(jnp.float32) * kv_scale
+            v = vbuf[slot].astype(jnp.float32) * kv_scale
+        else:
+            k = kbuf[slot].astype(jnp.float32)
+            v = vbuf[slot].astype(jnp.float32)
+        qh = q_ref[0, h].astype(jnp.float32)               # [r, d]
+        scores = jax.lax.dot_general(
+            k, qh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [chunk, r]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
+        scores = jnp.where(rows <= pos, scores, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
+        p = jnp.exp(scores - m_new)                         # [chunk, r]
+        alpha = jnp.exp(m - m_new)                          # [1, r]
+        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [r, d]
+        acc_new = acc * alpha.reshape(r, 1) + pv
+
+        is_last = c == n_chunks - 1
+
+        @pl.when(is_last)
+        def _():
+            o_ref[0, h] = (acc_new
+                           / l_new.reshape(r, 1)).astype(o_ref.dtype)
+
+        # reset accumulators at head boundaries
+        m = jnp.where(is_last, jnp.full_like(m, NEG_INF), m_new)
+        l = jnp.where(is_last, jnp.zeros_like(l), l_new)
+        acc = jnp.where(is_last, jnp.zeros_like(acc), acc_new)
+        return m, l, acc
+
+    init = (jnp.full((1, r), NEG_INF, jnp.float32),
+            jnp.zeros((1, r), jnp.float32),
+            jnp.zeros((r, d), jnp.float32))
+    jax.lax.fori_loop(0, total, body, init)
+
+
+def dma_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
+                         layer, positions, sm_scale=None, interpret=False):
+    """One-token decode attention fused with the KV-cache write, manual DMA.
+
+    q: [B, H_q, D]; k_new/v_new: [B, H_kv, D]; k/v_cache: [L, B, H_kv, S, D]
+    (ALIASED — donated and updated in place); positions: [B] write index.
+    Returns (out [B, H_q, D], k_cache, v_cache).
+    """
+    b, hq, d = q.shape
+    l, _, hkv, s, _ = k_cache.shape
+    r = hq // hkv
+    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+    kv_int8 = k_cache.dtype == jnp.int8
+    W = 32 if kv_int8 else 8            # sublane tile => provably aligned
+    chunk = _pick_chunk(s, W)       # always divides s (fallback: chunk = s)
+    n_chunks = s // chunk
+
+    qg = q.reshape(b, hkv, r, d)
+    scale_arr = jnp.asarray(kv_scale, jnp.float32).reshape(l)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # layer idx, positions, kv scales
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, r, d), lambda i, lyr, pos, sc: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, d), lambda i, lyr, pos, sc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, d), lambda i, lyr, pos, sc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            any_spec, any_spec,
+        ],
+        out_specs=[
+            any_spec, any_spec,
+            pl.BlockSpec((1, hkv, r, d), lambda i, lyr, pos, sc: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, W, d), k_cache.dtype),     # win_k
+            pltpu.VMEM((hkv, W, d), k_cache.dtype),     # win_v
+            pltpu.VMEM((2, chunk, d), k_cache.dtype),   # kbuf (double)
+            pltpu.VMEM((2, chunk, d), k_cache.dtype),   # vbuf
+            pltpu.SemaphoreType.DMA((2,)),              # window sems
+            pltpu.SemaphoreType.DMA((2,)),              # k stream sems
+            pltpu.SemaphoreType.DMA((2,)),              # v stream sems
+        ],
+    )
+    kernel = functools.partial(
+        _dma_decode_kernel, sm_scale=sm_scale, kv_int8=kv_int8, W=W,
+        chunk=chunk, n_chunks=n_chunks, hkv=hkv, r=r, d=d)
+
+    kc, vc, out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, hkv, r, d), q.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},   # cache operands -> outputs
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * d,
+            bytes_accessed=int(2 * b * hkv * s * d * (1 if kv_int8 else 2)),
+            transcendentals=b * hq * s),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(positions, jnp.int32), scale_arr,
+      qg, k_new, v_new, k_cache, v_cache)
+    return out.reshape(b, hq, d), kc, vc

@@ -107,9 +107,17 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
     o_ref[:] = acc
 
 
+def _default_compute_dtype():
+    # bf16 feeds the MXU on TPU; XLA-CPU's interpret-mode DotThunk cannot
+    # execute bf16 x bf16 -> f32, so tests/CPU meshes compute in f32
+    import jax
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
-                  compute_dtype=jnp.bfloat16, interpret=False):
+                  compute_dtype=None, interpret=False):
     """x: [M, K] -> [M, N] f32. w.qweight: [K(/2), N]."""
+    compute_dtype = compute_dtype or _default_compute_dtype()
     m, k_x = x.shape
     k = w.k_dim
     n = w.qweight.shape[-1]
@@ -223,8 +231,9 @@ def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
 
 
 def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
-                          compute_dtype=jnp.bfloat16, interpret=False):
+                          compute_dtype=None, interpret=False):
     """x: [M, K]; w.qweight: [L, K(/2), N]; layer: int32 scalar -> [M, N]."""
+    compute_dtype = compute_dtype or _default_compute_dtype()
     m, k_x = x.shape
     l = w.qweight.shape[0]
     k = w.k_dim

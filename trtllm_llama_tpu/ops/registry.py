@@ -17,14 +17,20 @@ KERNELS = {
     "w8a8_matmul_stacked": None,
     "decode_attention": None,
     "fused_decode_attention": None,
+    "dma_decode_attention": None,
     "prefill_attention": None,
     "rmsnorm_quant": None,
-    # Decode attention path: 'xla' (scatter + einsum, default — best at
-    # short/medium context), 'split' (scatter + read-only pallas kernel),
-    # 'fused' (write+attend aliased kernel; writes full cache blocks back,
-    # so it loses unless the loop-state copy behavior changes). Measured 7B
-    # bs1 int8-wo: xla 89.8/81.0 (TaskB/TaskA), fused 68.9-77.4.
+    # Decode attention path: 'xla' (scatter + einsum), 'split' (scatter +
+    # read-only pallas kernel), 'fused' (write+attend aliased kernel; writes
+    # full cache panels back — r1 experiment, loses), 'dma' (HBM-resident
+    # cache, manual double-buffered DMA streaming + windowed writes).
+    # Measured 7B bs1 int8-wo TaskB/TaskA: xla 89.8/81.0, fused 68.9-77.4.
     "decode_attn_mode": "xla",
+    # Active mesh for sharded execution. When set, only the shard_map-wrapped
+    # dense paths (ops/linear.py) run Pallas kernels — GSPMD cannot partition
+    # a bare pallas_call, so every other kernel falls back to XLA (which GSPMD
+    # *can* partition). Sessions set this before tracing.
+    "mesh": None,
 }
 
 
@@ -36,7 +42,11 @@ def enable_pallas_kernels(enabled: bool = True):
 
 
 def kernel(name: str):
-    """The registered kernel fn, or None if disabled/missing."""
-    if not KERNELS["enabled"]:
+    """The registered kernel fn, or None if disabled/missing.
+
+    Returns None for all kernels while a mesh is active: un-shard_map'd
+    pallas calls are not GSPMD-partitionable (the sharded dense paths check
+    the registry directly and wrap their kernels in shard_map)."""
+    if not KERNELS["enabled"] or KERNELS.get("mesh") is not None:
         return None
     return KERNELS.get(name)

@@ -201,6 +201,8 @@ class ServingEngine:
     def step(self) -> List[FinishedRequest]:
         """One engine step: admit+prefill new requests, then decode_chunk
         tokens for all active slots. Returns newly finished requests."""
+        from ..ops.registry import KERNELS
+        KERNELS["mesh"] = None        # serving is single-device (for now)
         finished: List[FinishedRequest] = []
 
         for req in self.scheduler.admit():

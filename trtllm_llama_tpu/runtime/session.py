@@ -72,13 +72,21 @@ class GenerationSession:
         self.params = params
         if mesh is not None:
             self.params = self._shard_params(params, mesh)
-        elif jax.default_backend() != "cpu":
-            # Single-chip TPU: route hot matmuls through the Pallas kernels.
-            # (The sharded path keeps the XLA-partitionable ops until the
-            # shard_map kernel path lands.)
+        self._use_kernels = (jax.default_backend() != "cpu"
+                             or bool(os.environ.get("TLLM_SHARDED_KERNELS")))
+        if self._use_kernels and jax.default_backend() != "cpu":
             from ..ops.linear import enable_pallas_kernels
             enable_pallas_kernels(True)
         self._fn_cache = {}
+
+    def _set_kernel_mesh(self):
+        """Publish this session's mesh to the kernel registry before any call
+        that may trace: under a mesh the dense kernels run inside shard_map
+        (ops/linear.py) and everything else falls back to GSPMD-partitionable
+        XLA. Set per-call because the registry is process-global and several
+        sessions (sharded + single-device) can coexist."""
+        from ..ops.registry import KERNELS
+        KERNELS["mesh"] = self.mesh if self._use_kernels else None
 
     # ------------------------------------------------------------------
     def _shard_params(self, params, mesh):
@@ -219,6 +227,7 @@ class GenerationSession:
         padded[:, :s] = input_ids
         max_len = min(self.engine_cfg.max_seq_len, bucket + max_new_tokens)
 
+        self._set_kernel_mesh()
         if scfg.beam_width > 1:
             return self._generate_beam(padded, seq_lens, scfg,
                                        max_new_tokens, max_len)
