@@ -62,6 +62,12 @@ def build_engine(config_name: str, batch: int, max_len: int):
     from trtllm_llama_tpu.quantization.mode import QuantMode
     from trtllm_llama_tpu.runtime.session import GenerationSession
 
+    # kernel-experiment knob: BENCH_DECODE_ATTN in {xla, split, fused, dma}
+    mode = os.environ.get("BENCH_DECODE_ATTN")
+    if mode:
+        from trtllm_llama_tpu.ops.registry import KERNELS
+        KERNELS["decode_attn_mode"] = mode
+
     qm = {
         "fp16": QuantMode(0),
         "int8": QuantMode.use_weight_only(False),

@@ -182,3 +182,73 @@ def test_serving_poll_and_cancel(tiny_setup):
     assert len(done[r2].output_ids) == 8
     # cancelled request's blocks released; only after r2 finishes all free
     assert engine.kv_mgr.blocks.free_blocks == engine.num_blocks
+
+
+def test_per_request_sampling_heterogeneous(tiny_setup):
+    """IFB contract (reference GptManager per-InferenceRequest
+    SamplingConfig): a greedy and a penalized request share the batch; the
+    greedy one must match the offline greedy decode exactly."""
+    cfg, params, ecfg = tiny_setup
+    rng = np.random.default_rng(2)
+    greedy = SamplingConfig(end_id=-1)
+    engine = ServingEngine(cfg, params, ecfg, sampling=greedy,
+                           decode_chunk=3, per_request_sampling=True)
+    p_greedy = rng.integers(3, 250, (6,)).tolist()
+    p_sto = rng.integers(3, 250, (5,)).tolist()
+    r_g = engine.submit(p_greedy, 6)                      # engine default
+    r_s = engine.submit(p_sto, 6, sampling=SamplingConfig(
+        end_id=-1, temperature=0.8, top_k=5))
+    r_p = engine.submit(p_sto, 6, sampling=SamplingConfig(
+        end_id=-1, repetition_penalty=1.5))
+    done = engine.run_to_completion()
+    assert set(done) == {r_g, r_s, r_p}
+    offline = GenerationSession(cfg, params, ecfg)
+    ref = offline.generate([p_greedy], sampling=greedy, max_new_tokens=6)
+    assert done[r_g].output_ids == ref.output_ids[0].tolist()
+    # penalized greedy request: tokens valid but may differ from plain greedy
+    assert len(done[r_p].output_ids) == 6
+    assert all(0 <= t < cfg.vocab_size for t in done[r_s].output_ids)
+
+
+def test_per_slot_budgets_no_throttling(tiny_setup):
+    """A nearly-done request must not cap the chunk for everyone: with
+    per-slot budgets the long request still decodes full chunks (and its
+    tokens match offline)."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(3)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=4)
+    p_short = rng.integers(3, 250, (4,)).tolist()
+    p_long = rng.integers(3, 250, (6,)).tolist()
+    r_short = engine.submit(p_short, 2)     # tiny budget
+    r_long = engine.submit(p_long, 12)
+    steps = 0
+    done = {}
+    while engine.scheduler.has_work:
+        for fr in engine.step():
+            done[fr.request_id] = fr
+        steps += 1
+    # long request: 12 tokens at chunk 4 => ~1 prefill step + 3 decode steps
+    assert steps <= 5, steps
+    offline = GenerationSession(cfg, params, ecfg)
+    ref = offline.generate([p_long], sampling=scfg, max_new_tokens=12)
+    assert done[r_long].output_ids == ref.output_ids[0].tolist()
+    assert len(done[r_short].output_ids) == 2
+
+
+def test_batched_prefill_admission(tiny_setup):
+    """Same-bucket admits prefill as one batched call; outputs unchanged."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(3, 250, (7,)).tolist() for _ in range(3)]
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3)
+    rids = [engine.submit(p, 5) for p in prompts]
+    done = engine.run_to_completion()
+    # 3 same-bucket admits -> groups of 2+1 -> exactly two prefill compiles
+    prefill_keys = [k for k in engine._fn_cache if k[0] == "prefill"]
+    assert sorted(k[2] for k in prefill_keys) == [1, 2]
+    offline = GenerationSession(cfg, params, ecfg)
+    for rid, p in zip(rids, prompts):
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=5)
+        assert done[rid].output_ids == ref.output_ids[0].tolist()

@@ -16,10 +16,12 @@ Beam search is a separate module (runtime/beam.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+NEG_INF = -1e9
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +136,90 @@ def sample_step(logits, cfg: SamplingConfig, key=None, token_counts=None,
         logits = apply_top_p(logits, cfg.top_p)
     assert key is not None, "stochastic sampling needs a PRNG key"
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+class SlotSamplingParams(NamedTuple):
+    """Per-slot sampling parameters for in-flight batching.
+
+    The reference's GptManager takes a SamplingConfig per InferenceRequest
+    (batch_manager/GptManager.h:48-89) and DynamicDecodeLayer reads
+    per-sequence runtime tensors. Here the whole pipeline is vectorized over
+    the slot axis so ONE compiled decode step serves any mix of greedy /
+    top-k / top-p / penalized requests — no per-config recompilation.
+    All arrays are [max_slots]."""
+
+    temperature: jnp.ndarray     # f32 (<= 0 treated as 1.0)
+    top_k: jnp.ndarray           # i32 (0 => disabled)
+    top_p: jnp.ndarray           # f32 (0 or >= 1 => disabled)
+    rep_pen: jnp.ndarray         # f32 (1.0 => disabled)
+    pres_pen: jnp.ndarray        # f32
+    freq_pen: jnp.ndarray        # f32
+    min_len: jnp.ndarray         # i32
+    greedy: jnp.ndarray          # bool
+
+    @classmethod
+    def neutral(cls, n: int) -> "SlotSamplingParams":
+        return cls(jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.int32),
+                   jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32),
+                   jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+                   jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool))
+
+    def set_slot(self, slot: int, cfg: SamplingConfig) -> "SlotSamplingParams":
+        """Host-side: write one request's config into its slot row."""
+        return SlotSamplingParams(
+            self.temperature.at[slot].set(cfg.temperature),
+            self.top_k.at[slot].set(cfg.top_k),
+            self.top_p.at[slot].set(cfg.top_p),
+            self.rep_pen.at[slot].set(cfg.repetition_penalty),
+            self.pres_pen.at[slot].set(cfg.presence_penalty),
+            self.freq_pen.at[slot].set(cfg.frequency_penalty),
+            self.min_len.at[slot].set(cfg.min_length),
+            self.greedy.at[slot].set(cfg.is_greedy))
+
+
+def sample_step_slots(logits, p: SlotSamplingParams, key, token_counts,
+                      gen_lens, end_id: int):
+    """Vectorized per-slot sampling. logits [S, V] -> tokens [S] int32.
+
+    Every feature is applied unconditionally with per-slot parameters whose
+    neutral values are no-ops (the branches of sample_step become selects),
+    so the compiled step is config-independent. One shared descending sort
+    feeds both the top-k threshold and the top-p cumulative mass
+    (reference TopKTopPSamplingLayer ordering: penalties -> temperature ->
+    top-k -> top-p -> sample)."""
+    s, v = logits.shape
+    logits = logits.astype(jnp.float32)
+
+    # penalties (samplingPenaltyKernels.cu semantics)
+    seen = token_counts > 0
+    r = p.rep_pen[:, None]
+    penalized = jnp.where(logits > 0, logits / r, logits * r)
+    logits = jnp.where(seen & (r != 1.0), penalized, logits)
+    logits = logits - p.pres_pen[:, None] * seen.astype(jnp.float32)
+    logits = logits - p.freq_pen[:, None] * token_counts.astype(jnp.float32)
+    # min-length: ban end_id until min_len generated
+    ban = gen_lens < p.min_len
+    logits = logits.at[:, end_id].add(jnp.where(ban, NEG_INF, 0.0))
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.where(p.temperature > 0, p.temperature, 1.0)[:, None]
+    logits = logits / t
+    # one sort serves top-k and top-p
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    k = jnp.clip(p.top_k, 0, v)
+    kth = jnp.take_along_axis(
+        sorted_desc, jnp.maximum(k - 1, 0)[:, None], axis=-1)
+    kth = jnp.where((k > 0)[:, None], kth, NEG_INF)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    p_eff = jnp.where((p.top_p > 0) & (p.top_p < 1), p.top_p, 1.0)[:, None]
+    keep_sorted = (cum - probs) < p_eff
+    p_thresh = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf),
+                       axis=-1, keepdims=True)
+    logits = jnp.where(logits < jnp.maximum(kth, p_thresh), NEG_INF, logits)
+    sampled = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jnp.where(p.greedy, greedy_tok, sampled)
 
 
 def update_tail(tail, tokens):

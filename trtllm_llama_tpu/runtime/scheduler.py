@@ -118,6 +118,17 @@ class Scheduler:
         return [self._active[self.slots.owner(s)]
                 for s in self.slots.active_slots()]
 
+    def get(self, request_id: int) -> Optional[Request]:
+        """Look up a queued or in-flight request (public accessor — callers
+        should not reach into _active/_queue)."""
+        req = self._active.get(request_id)
+        if req is not None:
+            return req
+        for r in self._queue:
+            if r.request_id == request_id:
+                return r
+        return None
+
     def record_token(self, request_id: int, token: int, eos_id: int) -> bool:
         """Append a generated token; returns True if the request finished."""
         req = self._active[request_id]

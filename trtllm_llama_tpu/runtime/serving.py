@@ -3,20 +3,32 @@
 The execution half of the batch manager (reference GptManager::step +
 gptSessionWithDecoderBatch): requests stream in, each is prefilled into a
 free slot of the shared stacked KV cache, and every engine step advances
-ALL active slots by `decode_chunk` tokens in one jitted device call (done
-slots self-freeze on device via EOS masking, so the host only intervenes at
-chunk boundaries — amortizing dispatch latency the same way the reference
-amortizes per-step enqueues with in-flight batching).
+ALL active slots by up to `decode_chunk` tokens in one jitted device call.
+Done and out-of-budget slots self-freeze on device via masking, so the host
+only intervenes at chunk boundaries — amortizing dispatch latency the same
+way the reference amortizes per-step enqueues with in-flight batching.
 
-Device layout: one cache [L, max_slots, H, max_seq_len, D]; slot i owns row
-i. Prefill computes the prompt's KV in a scratch cache and inserts the row
-at the slot index — so admission never recompiles (prompt length buckets
-only).
+In-flight batching semantics (reference GptManager.h:48-89 +
+ibGptAttentionPlugin):
+- per-request SamplingConfig (`submit(..., sampling=...)` with
+  `per_request_sampling=True`): the decode step is vectorized over slots
+  (sampling.sample_step_slots) so one compiled step serves any mix of
+  greedy / top-k / top-p / penalized requests;
+- admission prefills are grouped: same-bucket admits run as one batched
+  prefill call (group sizes padded to powers of two; pad rows land in a
+  reserved trash slot so no recompilation per group size);
+- per-slot decode budgets are enforced on device — one nearly-done request
+  no longer throttles every other slot to 1-token chunks.
+
+Device layout: one cache [L, max_slots + 1, H, max_seq_len, D]; slot i owns
+row i; row max_slots is the prefill-padding trash slot (never decoded,
+always inactive).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -25,7 +37,10 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
 from ..models import llama
-from .sampling import SamplingConfig, sample_step
+from .sampling import (
+    SamplingConfig, SlotSamplingParams, init_token_counts, sample_step,
+    sample_step_slots,
+)
 from .scheduler import Request, Scheduler
 
 
@@ -36,13 +51,27 @@ class FinishedRequest:
     finished_reason: str
 
 
+def _pow2_groups(n: int, cap: int):
+    """Split n into descending power-of-two group sizes <= cap."""
+    out = []
+    g = 1
+    while g * 2 <= cap:
+        g *= 2
+    while n > 0:
+        while g > n:
+            g //= 2
+        out.append(g)
+        n -= g
+    return out
+
+
 class ServingEngine:
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  sampling: Optional[SamplingConfig] = None,
                  kv_scales=None, decode_chunk: int = 8, model=None,
                  paged: bool = False, block_size: int = 64,
-                 num_blocks: Optional[int] = None):
-        import os
+                 num_blocks: Optional[int] = None,
+                 per_request_sampling: bool = False):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
@@ -53,7 +82,10 @@ class ServingEngine:
         self.scfg = sampling or SamplingConfig()
         self.decode_chunk = decode_chunk
         self.max_slots = engine_cfg.max_batch_size
+        self.n_rows = self.max_slots + 1      # +1 = prefill-padding trash slot
+        self.trash_slot = self.max_slots
         self.paged = paged
+        self.per_request = per_request_sampling
         if jax.default_backend() != "cpu":
             # mirror GenerationSession: hot matmuls through Pallas kernels
             from ..ops.linear import enable_pallas_kernels
@@ -76,20 +108,27 @@ class ServingEngine:
             # there instead of corrupting live blocks
             self.trash_block = self.num_blocks
             self.caches = init_paged_caches(
-                cfg, self.num_blocks + 1, block_size, self.max_slots,
+                cfg, self.num_blocks + 1, block_size, self.n_rows,
                 self.max_blocks, kv_scales)
             self.caches = self.caches._replace(
-                tables=jnp.full((self.max_slots, self.max_blocks),
+                tables=jnp.full((self.n_rows, self.max_blocks),
                                 self.trash_block, jnp.int32))
         else:
             self.scheduler = Scheduler(self.max_slots, engine_cfg.max_seq_len)
             self.caches = self.model.init_caches(
-                cfg, self.max_slots, engine_cfg.max_seq_len, kv_scales)
+                cfg, self.n_rows, engine_cfg.max_seq_len, kv_scales)
         self._kv_scales = kv_scales
-        # per-slot device state
-        self.slot_lens = jnp.zeros((self.max_slots,), jnp.int32)
-        self.slot_tokens = jnp.zeros((self.max_slots,), jnp.int32)
-        self.slot_active = jnp.zeros((self.max_slots,), bool)
+        # per-slot device state ([n_rows]; the trash row is never active)
+        self.slot_lens = jnp.zeros((self.n_rows,), jnp.int32)
+        self.slot_tokens = jnp.zeros((self.n_rows,), jnp.int32)
+        self.slot_active = jnp.zeros((self.n_rows,), bool)
+        self.slot_budget = jnp.zeros((self.n_rows,), jnp.int32)
+        self.slot_gen = jnp.zeros((self.n_rows,), jnp.int32)
+        if self.per_request:
+            self.slot_params = SlotSamplingParams.neutral(self.n_rows)
+            self.slot_counts = jnp.zeros((self.n_rows, cfg.vocab_size),
+                                         jnp.int32)
+        self._req_sampling: Dict[int, SamplingConfig] = {}
         self._fn_cache = {}
         self._key = jax.random.PRNGKey(0)
 
@@ -98,62 +137,98 @@ class ServingEngine:
         return sub
 
     # ------------------------------------------------------------------
-    def _prefill_fn(self, bucket: int):
+    def _prefill_fn(self, bucket: int, nb: int):
+        """Batched prefill: nb requests into their slots, one device call."""
         cfg, scfg, model = self.cfg, self.scfg, self.model
+        per_request = self.per_request
 
-        def fn(params, caches, ids, length, slot, key):
-            scratch = model.init_caches(cfg, 1, bucket,
-                                        self._kv_scales)
+        def fn(params, caches, ids, lengths, slots, key, slot_params):
+            scratch = model.init_caches(cfg, nb, bucket, self._kv_scales)
             logits, scratch = model.forward_prefill(
-                params, cfg, ids, length, scratch)
-            token = sample_step(logits, scfg, key)
-            # insert the slot row: [L, 1, H, bucket, D] into the big cache
-            def insert(big, small):
-                return jax.lax.dynamic_update_slice(
-                    big, small, (0, slot, 0, 0, 0))
-            caches = caches._replace(
-                k=insert(caches.k, scratch.k), v=insert(caches.v, scratch.v))
-            return caches, token[0]
+                params, cfg, ids, lengths, scratch)
+            if per_request:
+                counts = init_token_counts(ids, lengths, cfg.vocab_size)
+                gp = jax.tree.map(lambda a: a[slots], slot_params)
+                tokens = sample_step_slots(logits, gp, key, counts,
+                                           jnp.zeros((nb,), jnp.int32),
+                                           scfg.end_id)
+                counts = counts.at[jnp.arange(nb), tokens].add(1)
+            else:
+                tokens = sample_step(logits, scfg, key)
+                counts = None
+            # insert each request's KV rows at its slot (trash slot absorbs
+            # the power-of-two padding rows)
+            k, v = caches.k, caches.v
+            for i in range(nb):
+                sl = (0, slots[i], 0, 0, 0)
+                k = jax.lax.dynamic_update_slice(k, scratch.k[:, i:i + 1], sl)
+                v = jax.lax.dynamic_update_slice(v, scratch.v[:, i:i + 1], sl)
+            return caches._replace(k=k, v=v), tokens, counts
 
         return jax.jit(fn, donate_argnums=(1,))
 
-    def _paged_prefill_fn(self, bucket: int):
+    def _paged_prefill_fn(self, bucket: int, nb: int):
         cfg, scfg = self.cfg, self.scfg
         model = self.model
+        per_request = self.per_request
 
-        def fn(params, caches, ids, length, table_row, key):
-            # batch-1 view sharing the pools; scatters go to this request's
-            # blocks
-            view = caches._replace(tables=table_row[None, :])
-            logits, view = model.forward_prefill(params, cfg, ids, length,
+        def fn(params, caches, ids, lengths, table_rows, slots, key,
+               slot_params):
+            # nb-row view sharing the pools; scatters go to these requests'
+            # blocks (pad rows' tables are all trash-block)
+            view = caches._replace(tables=table_rows)
+            logits, view = model.forward_prefill(params, cfg, ids, lengths,
                                                  view)
-            token = sample_step(logits, scfg, key)
-            return caches._replace(pool_k=view.pool_k,
-                                   pool_v=view.pool_v), token[0]
+            if per_request:
+                counts = init_token_counts(ids, lengths, cfg.vocab_size)
+                gp = jax.tree.map(lambda a: a[slots], slot_params)
+                tokens = sample_step_slots(logits, gp, key, counts,
+                                           jnp.zeros((nb,), jnp.int32),
+                                           scfg.end_id)
+                counts = counts.at[jnp.arange(nb), tokens].add(1)
+            else:
+                tokens = sample_step(logits, scfg, key)
+                counts = None
+            return (caches._replace(pool_k=view.pool_k, pool_v=view.pool_v),
+                    tokens, counts)
 
         return jax.jit(fn, donate_argnums=(1,))
 
     def _decode_fn(self, n_steps: int):
         cfg, scfg, model = self.cfg, self.scfg, self.model
+        per_request = self.per_request
+        n_rows = self.n_rows
 
-        def fn(params, caches, tokens, lens, active, key):
-            out = jnp.zeros((self.max_slots, n_steps), jnp.int32)
+        def fn(params, caches, tokens, lens, active, gen, budget, key,
+               slot_params, counts):
+            out = jnp.zeros((n_rows, n_steps), jnp.int32)
 
             def body(i, state):
-                tokens, lens, caches, active, out = state
+                tokens, lens, caches, active, gen, out, counts = state
                 logits, caches = model.forward_decode(
                     params, cfg, tokens, lens, caches)
-                nxt = sample_step(logits, scfg, jax.random.fold_in(key, i))
+                sub = jax.random.fold_in(key, i)
+                if per_request:
+                    nxt = sample_step_slots(logits, slot_params, sub,
+                                            counts, gen, scfg.end_id)
+                    counts = counts.at[jnp.arange(n_rows), nxt].add(
+                        active.astype(jnp.int32))
+                else:
+                    nxt = sample_step(logits, scfg, sub)
                 nxt = jnp.where(active, nxt, scfg.pad_id)
                 out = out.at[:, i].set(nxt)
-                still = active & (nxt != scfg.end_id)
+                gen = gen + active.astype(jnp.int32)
+                # freeze on EOS or when the slot's own budget is spent —
+                # other slots keep decoding full chunks
+                still = active & (nxt != scfg.end_id) & (gen < budget)
                 lens = lens + active.astype(jnp.int32)
                 return (jnp.where(still, nxt, scfg.pad_id), lens, caches,
-                        still, out)
+                        still, gen, out, counts)
 
-            tokens, lens, caches, active, out = jax.lax.fori_loop(
-                0, n_steps, body, (tokens, lens, caches, active, out))
-            return caches, tokens, lens, active, out
+            tokens, lens, caches, active, gen, out, counts = jax.lax.fori_loop(
+                0, n_steps, body,
+                (tokens, lens, caches, active, gen, out, counts))
+            return caches, tokens, lens, active, gen, out, counts
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -176,90 +251,144 @@ class ServingEngine:
         return row
 
     # ------------------------------------------------------------------
-    def submit(self, input_ids: List[int], max_new_tokens: int) -> int:
-        return self.scheduler.submit(input_ids, max_new_tokens)
+    def submit(self, input_ids: List[int], max_new_tokens: int,
+               sampling: Optional[SamplingConfig] = None) -> int:
+        """Queue a request. `sampling` (requires per_request_sampling=True)
+        overrides the engine default for this request — the reference's
+        per-InferenceRequest SamplingConfig."""
+        if sampling is not None and not self.per_request:
+            raise ValueError(
+                "per-request sampling configs need per_request_sampling=True")
+        rid = self.scheduler.submit(input_ids, max_new_tokens)
+        if sampling is not None:
+            self._req_sampling[rid] = sampling
+        return rid
 
     def poll(self, request_id: int) -> List[int]:
         """Tokens generated so far (streaming consumers read between steps;
         the reference's GptManager streams via SendResponseCallback)."""
-        req = self.scheduler._active.get(request_id)
-        if req is not None:
-            return list(req.output_ids)
-        for r in self.scheduler._queue:
-            if r.request_id == request_id:
-                return []
-        raise KeyError(request_id)
+        req = self.scheduler.get(request_id)
+        if req is None:
+            raise KeyError(request_id)
+        return list(req.output_ids)
 
     def cancel(self, request_id: int):
         """Cancel a queued or in-flight request, releasing its slot/blocks."""
-        req = self.scheduler._active.get(request_id)
-        slot = req.slot if req is not None else None
+        req = self.scheduler.get(request_id)
+        slot = getattr(req, "slot", None) if req is not None else None
+        in_flight = req is not None and req.state.name in ("PREFILL", "DECODE")
         self.scheduler.cancel(request_id)
-        if slot is not None:
+        self._req_sampling.pop(request_id, None)
+        if in_flight and slot is not None:
             self._release_slot(slot)
 
-    def step(self) -> List[FinishedRequest]:
-        """One engine step: admit+prefill new requests, then decode_chunk
-        tokens for all active slots. Returns newly finished requests."""
-        from ..ops.registry import KERNELS
-        KERNELS["mesh"] = None        # serving is single-device (for now)
-        finished: List[FinishedRequest] = []
-
-        for req in self.scheduler.admit():
-            bucket = self.engine_cfg.bucket_for(len(req.input_ids))
-            ids = np.full((1, bucket), self.scfg.pad_id, np.int32)
-            ids[0, :len(req.input_ids)] = req.input_ids
-            if self.paged:
+    # ------------------------------------------------------------------
+    def _admit_group(self, group: List[Request], bucket: int
+                     ) -> List[FinishedRequest]:
+        """Prefill a same-bucket group in one batched device call."""
+        finished = []
+        nb = _pow2_groups(len(group), self.max_slots)[0]
+        reqs, rest = group[:nb], group[nb:]
+        ids = np.full((nb, bucket), self.scfg.pad_id, np.int32)
+        lengths = np.ones((nb,), np.int32)
+        slots = np.full((nb,), self.trash_slot, np.int32)
+        for i, req in enumerate(reqs):
+            ids[i, :len(req.input_ids)] = req.input_ids
+            lengths[i] = len(req.input_ids)
+            slots[i] = req.slot
+            if self.per_request:
+                scfg_i = self._req_sampling.get(req.request_id, self.scfg)
+                self.slot_params = self.slot_params.set_slot(req.slot, scfg_i)
+        slot_params = self.slot_params if self.per_request else 0
+        if self.paged:
+            table_rows = np.full((nb, self.max_blocks), self.trash_block,
+                                 np.int32)
+            for i, req in enumerate(reqs):
                 self.kv_mgr.add_sequence(req.slot, len(req.input_ids))
-                row = self._host_table_row(req.slot)
+                table_rows[i] = self._host_table_row(req.slot)
                 self.caches = self.caches._replace(
-                    tables=self.caches.tables.at[req.slot].set(row))
-                fn = self._get(("pprefill", bucket),
-                               self._paged_prefill_fn, bucket)
-                self.caches, token = fn(
-                    self.params, self.caches, jnp.asarray(ids),
-                    jnp.asarray([len(req.input_ids)], jnp.int32),
-                    jnp.asarray(row), self._next_key())
-            else:
-                fn = self._get(("prefill", bucket), self._prefill_fn, bucket)
-                self.caches, token = fn(
-                    self.params, self.caches, jnp.asarray(ids),
-                    jnp.asarray([len(req.input_ids)], jnp.int32), req.slot,
-                    self._next_key())
-            token = int(token)
+                    tables=self.caches.tables.at[req.slot].set(table_rows[i]))
+            fn = self._get(("pprefill", bucket, nb),
+                           self._paged_prefill_fn, bucket, nb)
+            self.caches, tokens, counts = fn(
+                self.params, self.caches, jnp.asarray(ids),
+                jnp.asarray(lengths), jnp.asarray(table_rows),
+                jnp.asarray(slots), self._next_key(), slot_params)
+        else:
+            fn = self._get(("prefill", bucket, nb),
+                           self._prefill_fn, bucket, nb)
+            self.caches, tokens, counts = fn(
+                self.params, self.caches, jnp.asarray(ids),
+                jnp.asarray(lengths), jnp.asarray(slots), self._next_key(),
+                slot_params)
+        tokens = np.asarray(tokens)
+        if self.per_request and counts is not None:
+            self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
+                counts)
+        for i, req in enumerate(reqs):
+            token = int(tokens[i])
             self.slot_lens = self.slot_lens.at[req.slot].set(
                 len(req.input_ids))
             self.slot_tokens = self.slot_tokens.at[req.slot].set(token)
             self.slot_active = self.slot_active.at[req.slot].set(True)
+            self.slot_budget = self.slot_budget.at[req.slot].set(
+                req.max_new_tokens)
+            self.slot_gen = self.slot_gen.at[req.slot].set(1)
             if self.scheduler.record_token(req.request_id, token,
                                            self.scfg.end_id):
                 self._release_slot(req.slot)
+                self._req_sampling.pop(req.request_id, None)
                 finished.append(FinishedRequest(
                     req.request_id, req.output_ids, req.finished_reason))
+        if rest:
+            finished.extend(self._admit_group(rest, bucket))
+        return finished
+
+    def step(self) -> List[FinishedRequest]:
+        """One engine step: admit+prefill new requests (batched per bucket),
+        then decode up to decode_chunk tokens for all active slots."""
+        from ..ops.registry import KERNELS
+        KERNELS["mesh"] = None        # serving is single-device (for now)
+        finished: List[FinishedRequest] = []
+
+        by_bucket: Dict[int, List[Request]] = {}
+        for req in self.scheduler.admit():
+            b = self.engine_cfg.bucket_for(len(req.input_ids))
+            by_bucket.setdefault(b, []).append(req)
+        for bucket, group in sorted(by_bucket.items()):
+            finished.extend(self._admit_group(group, bucket))
 
         if not bool(self.slot_active.any()):
             return finished
 
-        # cap the chunk so no request overshoots its budget or max_seq_len
-        budget = [r.max_new_tokens - len(r.output_ids)
-                  for r in self.scheduler.active_requests()]
-        chunk = max(1, min(self.decode_chunk, *budget)) if budget else 0
-        if chunk == 0:
+        # chunk = enough steps for the request with the LARGEST remaining
+        # budget (each slot self-freezes at its own budget on device)
+        budgets = [r.max_new_tokens - len(r.output_ids)
+                   for r in self.scheduler.active_requests()]
+        chunk = min(self.decode_chunk, max(budgets)) if budgets else 0
+        if chunk <= 0:
             return finished
         slot_of = {r.slot: r for r in self.scheduler.active_requests()}
         if self.paged:
             # pre-allocate blocks for this chunk's writes, then refresh the
             # device block tables
             tables = np.array(self.caches.tables)  # writable copy
-            for slot in slot_of:
-                for _ in range(chunk):
+            for slot, req in slot_of.items():
+                n_new = min(chunk, req.max_new_tokens - len(req.output_ids))
+                for _ in range(n_new):
                     self.kv_mgr.append_token(slot)
                 tables[slot] = self._host_table_row(slot)
             self.caches = self.caches._replace(tables=jnp.asarray(tables))
         fn = self._get(("decode", chunk), self._decode_fn, chunk)
-        self.caches, self.slot_tokens, self.slot_lens, self.slot_active, out \
-            = fn(self.params, self.caches, self.slot_tokens, self.slot_lens,
-                 self.slot_active, self._next_key())
+        slot_params = self.slot_params if self.per_request else 0
+        counts = self.slot_counts if self.per_request else 0
+        (self.caches, self.slot_tokens, self.slot_lens, self.slot_active,
+         self.slot_gen, out, counts) = fn(
+            self.params, self.caches, self.slot_tokens, self.slot_lens,
+            self.slot_active, self.slot_gen, self.slot_budget,
+            self._next_key(), slot_params, counts)
+        if self.per_request:
+            self.slot_counts = counts
         out = np.asarray(out)
 
         for slot, req in slot_of.items():
@@ -267,6 +396,7 @@ class ServingEngine:
                 if self.scheduler.record_token(req.request_id, int(t),
                                                self.scfg.end_id):
                     self._release_slot(slot)
+                    self._req_sampling.pop(req.request_id, None)
                     finished.append(FinishedRequest(
                         req.request_id, req.output_ids, req.finished_reason))
                     break
