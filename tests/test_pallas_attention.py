@@ -195,3 +195,43 @@ def test_dma_decode_kernel_matches_reference(hq, hkv, kv_int8, s):
                                atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(kc2), np.asarray(cache.k), atol=1)
     np.testing.assert_allclose(np.asarray(vc2), np.asarray(cache.v), atol=1)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+def test_packed_prefill_kernel_matches_reference(hq, hkv):
+    from trtllm_llama_tpu.ops.pallas.attention import (
+        packed_prefill_attention_kernel,
+    )
+
+    rng = np.random.default_rng(9)
+    d = 128
+    lens = [5, 11, 3]
+    t = 32                       # 19 real + pads
+    q = rng.standard_normal((t, hq, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((t, hkv, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((t, hkv, d)).astype(np.float32)
+    seg = np.full((t,), -1, np.int32)
+    off = 0
+    for i, n in enumerate(lens):
+        seg[off:off + n] = i
+        off += n
+
+    out = packed_prefill_attention_kernel(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+        interpret=True)
+    expected = ref.packed_prefill_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(out)[:off],
+                               np.asarray(expected)[:off],
+                               atol=2e-2, rtol=2e-2)
+    # per-sequence equivalence with the plain prefill reference
+    off = 0
+    for i, n in enumerate(lens):
+        qs = jnp.asarray(q[None, off:off + n])
+        ks = jnp.asarray(k[None, off:off + n])
+        vs = jnp.asarray(v[None, off:off + n])
+        single = ref.prefill_attention(qs, ks, vs)
+        np.testing.assert_allclose(np.asarray(out)[off:off + n],
+                                   np.asarray(single)[0],
+                                   atol=2e-2, rtol=2e-2)
+        off += n

@@ -252,3 +252,43 @@ def test_batched_prefill_admission(tiny_setup):
     for rid, p in zip(rids, prompts):
         ref = offline.generate([p], sampling=scfg, max_new_tokens=5)
         assert done[rid].output_ids == ref.output_ids[0].tolist()
+
+
+def test_packed_prefill_serving_matches_offline(tiny_setup):
+    """Remove-padding admission: mixed-length prompts prefill as ONE packed
+    stream; every request still matches its offline greedy decode."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 11, 3, 8, 13)]
+    new_tokens = [6, 4, 8, 5, 3]
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                           packed_prefill=True)
+    assert engine.packed
+    rids = [engine.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    done = engine.run_to_completion()
+    assert set(done) == set(rids)
+    # the packed path actually ran
+    assert any(k[0] == "packed_prefill" for k in engine._fn_cache)
+    offline = GenerationSession(cfg, params, ecfg)
+    for rid, p, n in zip(rids, prompts, new_tokens):
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=n)
+        assert done[rid].output_ids == ref.output_ids[0].tolist(), rid
+
+
+def test_packed_prefill_per_request_sampling(tiny_setup):
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(8)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                           packed_prefill=True, per_request_sampling=True)
+    p1 = rng.integers(3, 250, (6,)).tolist()
+    p2 = rng.integers(3, 250, (9,)).tolist()
+    r1 = engine.submit(p1, 5)
+    r2 = engine.submit(p2, 5, sampling=SamplingConfig(
+        end_id=-1, temperature=0.9, top_k=8))
+    done = engine.run_to_completion()
+    offline = GenerationSession(cfg, params, ecfg)
+    ref = offline.generate([p1], sampling=scfg, max_new_tokens=5)
+    assert done[r1].output_ids == ref.output_ids[0].tolist()
+    assert len(done[r2].output_ids) == 5

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, fused_decode_attention_at, prefill_attention,
-    write_kv_prefill_at,
+    KVCache, PackedMeta, fused_decode_attention_at, packed_prefill_attention,
+    prefill_attention, write_kv_packed_at, write_kv_prefill_at,
 )
 from ..ops.paged_attention import (
     PagedKVCache, paged_decode_attention_at, paged_write_decode_at,
@@ -85,10 +85,13 @@ def init_caches(cfg: ModelConfig, batch: int, max_len: int,
     kv_scales: optional [L] calibrated int8-KV scales (converter output).
     """
     kv_dtype = jnp.int8 if cfg.quant_mode.has_int8_kv_cache() else cfg.jnp_dtype
-    # sublane-align the cache length so the decode kernels' aligned-window
-    # writes (8 rows bf16 / 32 rows int8) stay in bounds
-    align = 32 if kv_dtype == jnp.int8 else 8
-    max_len = -(-max_len // align) * align
+    # Align the cache length to 128 rows: keeps the manual-DMA decode
+    # kernel's chunk streaming on >=128-row DMAs (a 1128-row cache would
+    # otherwise only admit 8-row chunks - measured 29 tok/s vs 81) and
+    # covers the aligned-window write (8 rows bf16 / 32 int8). XLA's einsum
+    # path reads whatever is allocated either way, so the <=127 extra rows
+    # cost the same on both paths.
+    max_len = -(-max_len // 128) * 128
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if kv_scales is None:
         kv_scales = jnp.ones((cfg.num_layers,), jnp.float32)
@@ -101,7 +104,7 @@ def _split_heads(x, n_heads, head_dim):
 
 
 def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
-                seq_lens, decode: bool):
+                seq_lens, decode: bool, packed: PackedMeta = None):
     """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode).
 
     lw holds the *stacked* layer weights; `layer` is the (traced) layer
@@ -130,7 +133,12 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     paged = isinstance(caches, PagedKVCache)
-    if decode:
+    if packed is not None:
+        # packed prefill: x [T, D]; q/k/v [T, H, D]
+        caches = write_kv_packed_at(caches, layer, k, v, packed.slot_tok,
+                                    packed.pos_tok)
+        attn = packed_prefill_attention(q, k, v, packed.seg_ids)
+    elif decode:
         # q,k,v: [B, H, D]; cos/sin: [B, 1, d] broadcast over heads
         if paged:
             caches = paged_write_decode_at(caches, layer, k, v, seq_lens)
@@ -179,20 +187,20 @@ UNROLL_LAYERS = {"enabled": False}
 
 
 def _run_layers(cfg: ModelConfig, params: Params, x, cos, sin, caches,
-                seq_lens, decode: bool):
+                seq_lens, decode: bool, packed: PackedMeta = None):
     lw = params["layers"]
 
     if UNROLL_LAYERS["enabled"]:
         for layer in range(cfg.num_layers):
             x, caches = _attn_block(cfg, lw, layer, x, cos, sin, caches,
-                                    seq_lens, decode)
+                                    seq_lens, decode, packed)
             x = _mlp_block(cfg, lw, layer, x)
         return x, caches
 
     def body(carry, layer):
         x, caches = carry
         h, caches = _attn_block(cfg, lw, layer, x, cos, sin, caches,
-                                seq_lens, decode)
+                                seq_lens, decode, packed)
         h = _mlp_block(cfg, lw, layer, h)
         return (h, caches), None
 
@@ -222,6 +230,28 @@ def forward_prefill(params: Params, cfg: ModelConfig, input_ids, seq_lens,
         return logits, caches
     last = jnp.take_along_axis(
         x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = dense(last, params["lm_head"], jnp.float32)
+    return logits, caches
+
+
+def forward_prefill_packed(params: Params, cfg: ModelConfig, token_ids,
+                           packed: PackedMeta, last_idx, caches: KVCache):
+    """Packed (remove-padding) context phase.
+
+    token_ids: [T] flattened mixed-length prompts (pads anywhere seg_ids is
+    -1); packed: PackedMeta; last_idx: [nb] index of each sequence's last
+    token in the stream. Returns (logits [nb, V], caches) — each sequence's
+    KV rows land at cache row slot_tok (reference remove_input_padding +
+    gather_last_token_logits, functional.py:3316).
+    """
+    x = embedding_lookup(params["embed"], token_ids, cfg.jnp_dtype)  # [T, D]
+    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
+                              cfg.rope_theta)
+    cos, sin = take_rope(cos_t, sin_t, packed.pos_tok)               # [T,1,d]
+    x, caches = _run_layers(cfg, params, x, cos, sin, caches, None, False,
+                            packed)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.take(x, last_idx, axis=0)                             # [nb, D]
     logits = dense(last, params["lm_head"], jnp.float32)
     return logits, caches
 

@@ -114,6 +114,27 @@ def write_kv_decode_at(cache: KVCache, layer, k, v, positions) -> KVCache:
     return KVCache(kc, vc, cache.scale)
 
 
+class PackedMeta(NamedTuple):
+    """Remove-padding prefill metadata (reference RaggedTensor /
+    remove_input_padding). All [T]: seg_ids (-1 pad), slot_tok (cache row
+    per token; pads -> trash slot), pos_tok (position within own seq)."""
+
+    seg_ids: jnp.ndarray
+    slot_tok: jnp.ndarray
+    pos_tok: jnp.ndarray
+
+
+def write_kv_packed_at(cache: KVCache, layer, k, v, slot_tok,
+                       pos_tok) -> KVCache:
+    """Stacked cache: scatter packed rows. k/v: [T, H_kv, D]; token t goes
+    to (layer, slot_tok[t], :, pos_tok[t]). Pad tokens must point at a
+    trash slot row."""
+    lc = _layer_cache(cache, layer)
+    kc = cache.k.at[layer, slot_tok, :, pos_tok, :].set(_quant_kv(k, lc))
+    vc = cache.v.at[layer, slot_tok, :, pos_tok, :].set(_quant_kv(v, lc))
+    return KVCache(kc, vc, cache.scale)
+
+
 def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
                               positions, scale: Optional[float] = None):
     """Decode step for layer `layer`: write k/v_new [B, H_kv, D] at
@@ -160,6 +181,27 @@ def decode_attention_at(q, cache: KVCache, layer, cache_lens,
     return decode_attention(q, _layer_cache(cache, layer), cache_lens, scale)
 
 
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Per-head ALiBi slopes (reference generate_alibi_slopes,
+    functional.py:3222-3256; Press et al.): m_i = 2^(-8(i+1)/n) for
+    power-of-two head counts, with the standard closest-power-of-two
+    interpolation otherwise. Returns [n_heads] f32."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        out = pow2_slopes(n_heads)
+    else:
+        base = 2 ** math.floor(math.log2(n_heads))
+        out = pow2_slopes(base)
+        extra = pow2_slopes(2 * base)
+        out += extra[0::2][: n_heads - base]
+    return jnp.asarray(out, jnp.float32)
+
+
 def _gqa_repeat(x, n_rep: int):
     """[B, H_kv, ...] -> [B, H_kv * n_rep, ...] by head repetition."""
     if n_rep == 1:
@@ -169,18 +211,22 @@ def _gqa_repeat(x, n_rep: int):
     return x.reshape(b, h * n_rep, *x.shape[3:])
 
 
-def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None):
+def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None,
+                      alibi: Optional[jnp.ndarray] = None):
     """Causal self-attention over a full prompt.
 
     q: [B, S, H_q, D]; k, v: [B, S, H_kv, D]; seq_lens: optional [B] true
-    lengths (positions >= len are masked out as keys). Returns [B, S, H_q, D].
-    Dispatches to the Pallas prefill kernel (FMHA-cubin equivalent) when
-    kernels are enabled and shapes are TPU-tileable.
+    lengths (positions >= len are masked out as keys). `alibi`: optional
+    [H_q] slopes — adds slope*key_pos to the scores (row-constant shifts
+    cancel in softmax, so key-position-only bias == the (j-i) formulation;
+    reference ALiBi branch layers/attention.py:325-328). Returns
+    [B, S, H_q, D]. Dispatches to the Pallas prefill kernel (FMHA-cubin
+    equivalent) when kernels are enabled and shapes are TPU-tileable.
     """
     from .registry import kernel
     k_fn = kernel("prefill_attention")
     if k_fn is not None and q.shape[-1] % 128 == 0:
-        return k_fn(q, k, v, seq_lens, sm_scale=scale)
+        return k_fn(q, k, v, seq_lens, sm_scale=scale, alibi=alibi)
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     scale = scale if scale is not None else d ** -0.5
@@ -191,6 +237,9 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None):
                         preferred_element_type=jnp.float32) * scale
     rows = jnp.arange(s)[:, None]
     cols = jnp.arange(s)[None, :]
+    if alibi is not None:
+        logits = logits + (alibi.reshape(1, hq, 1, 1)
+                           * cols.reshape(1, 1, 1, s))
     mask = cols <= rows                                          # causal
     if seq_lens is not None:
         mask = mask & (cols[None] < seq_lens[:, None, None])
@@ -202,12 +251,49 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None):
     return jnp.swapaxes(out, 1, 2)                               # [B,S,Hq,D]
 
 
-def decode_attention(q, cache: KVCache, cache_lens, scale: Optional[float] = None):
+def packed_prefill_attention(q, k, v, seg_ids, scale: Optional[float] = None):
+    """Packed (remove-padding) causal attention over concatenated sequences.
+
+    The reference's RaggedTensor / remove_input_padding path
+    (functional.py:351, plugin/plugin.py:75, docs/gpt_attention.md packed
+    mode): mixed-length prompts are flattened to one [T] token stream; a
+    position may attend position j iff both share a segment id and j <= i
+    (sequences are contiguous, so global causal == within-sequence causal).
+
+    q: [T, H_q, D]; k, v: [T, H_kv, D]; seg_ids: [T] int32 (pad rows -1).
+    Returns [T, H_q, D] (pad rows undefined). Dispatches to the Pallas
+    packed kernel when enabled.
+    """
+    from .registry import kernel
+    k_fn = kernel("packed_prefill_attention")
+    if k_fn is not None and q.shape[-1] % 128 == 0:
+        return k_fn(q, k, v, seg_ids, sm_scale=scale)
+    t, hq, d = q.shape
+    hkv = k.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    kt = _gqa_repeat(jnp.swapaxes(k, 0, 1)[None], hq // hkv)[0]   # [Hq,T,D]
+    vt = _gqa_repeat(jnp.swapaxes(v, 0, 1)[None], hq // hkv)[0]
+    qt = jnp.swapaxes(q, 0, 1)                                    # [Hq,T,D]
+    logits = jnp.einsum("htd,hsd->hts", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    rows = jnp.arange(t)[:, None]
+    cols = jnp.arange(t)[None, :]
+    mask = (cols <= rows) & (seg_ids[:, None] == seg_ids[None, :])
+    logits = jnp.where(mask[None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("hts,hsd->htd", probs.astype(q.dtype), vt,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return jnp.swapaxes(out, 0, 1)                                # [T,Hq,D]
+
+
+def decode_attention(q, cache: KVCache, cache_lens,
+                     scale: Optional[float] = None,
+                     alibi: Optional[jnp.ndarray] = None):
     """Single-token attention against the KV cache.
 
     q: [B, H_q, D]; cache_lens: [B] number of valid cache positions (the new
     token's K/V must already be written, so valid = positions < cache_lens).
-    Returns [B, H_q, D].
+    alibi: optional [H_q] slopes (slope * key_pos bias). Returns [B, H_q, D].
     """
     b, hq, d = q.shape
     hkv = cache.k.shape[1]
@@ -217,6 +303,9 @@ def decode_attention(q, cache: KVCache, cache_lens, scale: Optional[float] = Non
     vt = _gqa_repeat(_dequant_kv(cache.v, cache, q.dtype), hq // hkv)
     logits = jnp.einsum("bhd,bhkd->bhk", q, kt,
                         preferred_element_type=jnp.float32) * scale
+    if alibi is not None:
+        logits = logits + (alibi.reshape(1, hq, 1)
+                           * jnp.arange(s_max).reshape(1, 1, s_max))
     mask = jnp.arange(s_max)[None, :] < cache_lens[:, None]      # [B, S]
     logits = jnp.where(mask[:, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

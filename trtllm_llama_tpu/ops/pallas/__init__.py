@@ -5,7 +5,8 @@ tests in tests/. Registration is via ops.registry.enable_pallas_kernels().
 """
 
 from .attention import (
-    decode_attention_kernel, fused_decode_attention, prefill_attention_kernel,
+    decode_attention_kernel, fused_decode_attention,
+    packed_prefill_attention_kernel, prefill_attention_kernel,
 )
 from .dma_decode_attention import dma_decode_attention
 from .rmsnorm_quant import rmsnorm_quant_kernel
@@ -22,4 +23,5 @@ def register(registry: dict):
     registry["fused_decode_attention"] = fused_decode_attention
     registry["dma_decode_attention"] = dma_decode_attention
     registry["prefill_attention"] = prefill_attention_kernel
+    registry["packed_prefill_attention"] = packed_prefill_attention_kernel
     registry["rmsnorm_quant"] = rmsnorm_quant_kernel

@@ -261,8 +261,10 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
 # Prefill
 # ---------------------------------------------------------------------------
 
-def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, bq):
+def _prefill_kernel(lens_ref, alibi_ref, q_ref, k_ref, v_ref, o_ref,
+                    *, sm_scale, bq):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     iq = pl.program_id(2)
     lens = lens_ref[b]
     q = q_ref[0, 0].astype(jnp.float32)                 # [bq, D]
@@ -274,6 +276,9 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, bq):
         preferred_element_type=jnp.float32) * sm_scale   # [bq, S]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + iq * bq
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+    # ALiBi: slope * key_pos (row-constant shift vs the (j-i) form cancels
+    # in softmax); slope is 0 for non-ALiBi models.
+    scores = scores + alibi_ref[h] * cols.astype(jnp.float32)
     mask = (cols <= rows) & (cols < lens)
     scores = jnp.where(mask, scores, NEG_INF)
     m = jnp.max(scores, axis=1, keepdims=True)
@@ -283,16 +288,96 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, bq):
     o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
 
 
+def _packed_prefill_kernel(seg_ref, q_ref, k_ref, v_ref, o_ref,
+                           *, sm_scale, bq, t):
+    iq = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)                    # [bq, D]
+    k = k_ref[0].astype(jnp.float32)                    # [T, D]
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale   # [bq, T]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0) + iq * bq
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    seg_rows = seg_ref[pl.ds(iq * bq, bq)].reshape(bq, 1)   # [bq, 1] SMEM
+    seg_cols = seg_ref[...].reshape(1, t)
+    mask = (cols <= rows) & (seg_rows == seg_cols)
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-20)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = (out / denom).astype(o_ref.dtype)
+
+
+def packed_prefill_attention_kernel(q, k, v, seg_ids, sm_scale=None,
+                                    bq=256, interpret=False):
+    """Packed causal attention (remove-padding). q: [T, H_q, D];
+    k, v: [T, H_kv, D]; seg_ids: [T] int32 (-1 pad). Returns [T, H_q, D].
+
+    Same VMEM-resident panel layout as the prefill kernel, with the
+    sequence-boundary mask from scalar-prefetched segment ids instead of
+    per-batch lengths (reference packed gpt_attention mode)."""
+    t_in, hq, d = q.shape
+    hkv = k.shape[1]
+    r = hq // hkv
+    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+    pad_t = (-t_in) % 128 if t_in > 64 else (-t_in) % 8
+    if pad_t:
+        pad = ((0, pad_t), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        seg_ids = jnp.pad(seg_ids, (0, pad_t), constant_values=-1)
+    t = t_in + pad_t
+    bq = min(bq, t)
+    if t % bq:
+        bq = next(c for c in (128, 64, 32, 16, 8, 1) if t % c == 0)
+
+    qt = jnp.swapaxes(q, 0, 1)                  # [Hq, T, D]
+    kt = jnp.swapaxes(k, 0, 1)                  # [Hkv, T, D]
+    vt = jnp.swapaxes(v, 0, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                  # seg_ids
+        grid=(hq, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, j, seg: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h, j, seg: (h // r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h, j, seg: (h // r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, j, seg: (h, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_packed_prefill_kernel, sm_scale=sm_scale,
+                          bq=bq, t=t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hq, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * hq * t * t * d,
+            bytes_accessed=int(t * d * (hq + 2 * hkv) * 2),
+            transcendentals=hq * t * t),
+        interpret=interpret,
+    )(jnp.asarray(seg_ids, jnp.int32), qt, kt, vt)
+    out = jnp.swapaxes(out, 0, 1)
+    return out[:t_in] if pad_t else out
+
+
 def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
-                             bq=256, interpret=False):
+                             bq=256, interpret=False, alibi=None):
     """Causal self-attention. q: [B, S, H_q, D]; k, v: [B, S, H_kv, D];
-    seq_lens: [B] (None => all S). Returns [B, S, H_q, D]."""
+    seq_lens: [B] (None => all S); alibi: optional [H_q] slopes.
+    Returns [B, S, H_q, D]."""
     b, s_in, hq, d = q.shape
     hkv = k.shape[2]
     r = hq // hkv
     sm_scale = sm_scale if sm_scale is not None else d ** -0.5
     if seq_lens is None:
         seq_lens = jnp.full((b,), s_in, jnp.int32)
+    if alibi is None:
+        alibi = jnp.zeros((hq,), jnp.float32)
     # pad S to a tileable multiple; padded keys are masked by the length
     # mask (cols < lens), padded query rows are sliced off below
     pad_s = (-s_in) % 128 if s_in > 64 else (-s_in) % 8
@@ -309,21 +394,21 @@ def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
     vt = jnp.swapaxes(v, 1, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                  # seq_lens
+        num_scalar_prefetch=2,                  # seq_lens, alibi slopes
         grid=(b, hq, s // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d),
-                         lambda i, h, j, lens: (i, h, j, 0),
+                         lambda i, h, j, *_: (i, h, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, d),
-                         lambda i, h, j, lens: (i, h // r, 0, 0),
+                         lambda i, h, j, *_: (i, h // r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, d),
-                         lambda i, h, j, lens: (i, h // r, 0, 0),
+                         lambda i, h, j, *_: (i, h // r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d),
-                               lambda i, h, j, lens: (i, h, j, 0),
+                               lambda i, h, j, *_: (i, h, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -335,6 +420,7 @@ def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
             bytes_accessed=int(b * s * d * (hq + 2 * hkv) * 2),
             transcendentals=b * hq * s * s),
         interpret=interpret,
-    )(jnp.asarray(seq_lens, jnp.int32), qt, kt, vt)
+    )(jnp.asarray(seq_lens, jnp.int32), jnp.asarray(alibi, jnp.float32),
+      qt, kt, vt)
     out = jnp.swapaxes(out, 1, 2)
     return out[:, :s_in] if pad_s else out

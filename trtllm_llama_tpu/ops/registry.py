@@ -19,6 +19,7 @@ KERNELS = {
     "fused_decode_attention": None,
     "dma_decode_attention": None,
     "prefill_attention": None,
+    "packed_prefill_attention": None,
     "rmsnorm_quant": None,
     # Decode attention path: 'xla' (scatter + einsum), 'split' (scatter +
     # read-only pallas kernel), 'fused' (write+attend aliased kernel; writes

@@ -37,6 +37,37 @@ def apply_rope(x, cos, sin):
     return (x * cos + _rotate_half(x) * sin).astype(x.dtype)
 
 
+def rope_table_interleaved(max_len: int, rotary_dim: int,
+                           theta: float = 10000.0, dtype=jnp.float32):
+    """GPT-J/NeoX convention: each frequency repeated twice (interleaved
+    pairs), vs the HF-LLaMA half-split. Returns (cos, sin) [max_len, d_rot].
+    Reference applies this inline in mmha/context kernels (rotary embedding
+    branch of gptAttentionCommon); HF GPTJAttention.fixed_pos_embedding."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2,
+                                           dtype=jnp.float32) / rotary_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                        # [S, d_rot/2]
+    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)          # [S, d_rot]
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+def apply_rope_interleaved(x, cos, sin, rotary_dim: int = 0):
+    """Rotate-every-two convention on the first `rotary_dim` dims (0 = all).
+
+    x: [..., H, d]; cos/sin broadcastable [..., 1, d_rot]."""
+    d = x.shape[-1]
+    rot_d = rotary_dim or d
+    xr = x[..., :rot_d]
+    x1 = xr[..., ::2]
+    x2 = xr[..., 1::2]
+    rotated = jnp.stack([-x2, x1], axis=-1).reshape(xr.shape)
+    out = (xr * cos + rotated * sin).astype(x.dtype)
+    if rot_d == d:
+        return out
+    return jnp.concatenate([out, x[..., rot_d:]], axis=-1)
+
+
 def take_rope(cos, sin, positions):
     """Gather per-position cos/sin: positions [...,S] -> [..., S, 1, d]."""
     c = jnp.take(cos, positions, axis=0)[..., None, :]

@@ -71,7 +71,8 @@ class ServingEngine:
                  kv_scales=None, decode_chunk: int = 8, model=None,
                  paged: bool = False, block_size: int = 64,
                  num_blocks: Optional[int] = None,
-                 per_request_sampling: bool = False):
+                 per_request_sampling: bool = False,
+                 packed_prefill: bool = False):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
@@ -86,6 +87,10 @@ class ServingEngine:
         self.trash_slot = self.max_slots
         self.paged = paged
         self.per_request = per_request_sampling
+        # packed (remove-padding) admission: all admits of a step prefill as
+        # ONE flattened token stream regardless of length mix
+        self.packed = (packed_prefill and not paged
+                       and hasattr(model or llama, "forward_prefill_packed"))
         if jax.default_backend() != "cpu":
             # mirror GenerationSession: hot matmuls through Pallas kernels
             from ..ops.linear import enable_pallas_kernels
@@ -193,6 +198,109 @@ class ServingEngine:
                     tokens, counts)
 
         return jax.jit(fn, donate_argnums=(1,))
+
+    def _t_bucket(self, t: int) -> int:
+        """Pow2 ladder for the packed stream length."""
+        b = 16
+        cap = self.max_slots * self.engine_cfg.max_input_len
+        while b < t and b < cap:
+            b *= 2
+        return min(b, max(cap, 16))
+
+    def _packed_prefill_fn(self, t_bucket: int):
+        """All admitted requests as ONE packed token stream (remove-padding,
+        reference RaggedTensor/remove_input_padding): no bucket-pad FLOPs
+        for mixed-length admissions. Compiles per T bucket only — sequence
+        count is fixed at max_slots (trash-slot padding)."""
+        from ..ops.attention import PackedMeta
+
+        cfg, scfg, model = self.cfg, self.scfg, self.model
+        per_request = self.per_request
+        ms = self.max_slots
+
+        def fn(params, caches, token_ids, seg_ids, slot_tok, pos_tok,
+               last_idx, slots, key, slot_params):
+            packed = PackedMeta(seg_ids, slot_tok, pos_tok)
+            logits, caches = model.forward_prefill_packed(
+                params, cfg, token_ids, packed, last_idx, caches)
+            if per_request:
+                seg_safe = jnp.where(seg_ids >= 0, seg_ids, ms)
+                counts = jnp.zeros((ms + 1, cfg.vocab_size), jnp.int32)
+                counts = counts.at[seg_safe, token_ids].add(1)[:ms]
+                gp = jax.tree.map(lambda a: a[slots], slot_params)
+                tokens = sample_step_slots(logits, gp, key, counts,
+                                           jnp.zeros((ms,), jnp.int32),
+                                           scfg.end_id)
+                counts = counts.at[jnp.arange(ms), tokens].add(1)
+            else:
+                tokens = sample_step(logits, scfg, key)
+                counts = None
+            return caches, tokens, counts
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _admit_packed(self, reqs: List[Request]) -> List[FinishedRequest]:
+        """Prefill every admitted request in one packed device call."""
+        finished = []
+        total = sum(len(r.input_ids) for r in reqs)
+        tb = self._t_bucket(total)
+        # split if the stream exceeds the largest bucket
+        if total > tb:
+            cut, acc = 0, 0
+            for i, r in enumerate(reqs):
+                if acc + len(r.input_ids) > tb:
+                    cut = i
+                    break
+                acc += len(r.input_ids)
+            return (self._admit_packed(reqs[:max(cut, 1)])
+                    + self._admit_packed(reqs[max(cut, 1):]))
+        ms = self.max_slots
+        token_ids = np.zeros((tb,), np.int32)
+        seg_ids = np.full((tb,), -1, np.int32)
+        slot_tok = np.full((tb,), self.trash_slot, np.int32)
+        pos_tok = np.zeros((tb,), np.int32)
+        last_idx = np.full((ms,), tb - 1, np.int32)
+        slots = np.full((ms,), self.trash_slot, np.int32)
+        off = 0
+        for i, req in enumerate(reqs):
+            n = len(req.input_ids)
+            token_ids[off:off + n] = req.input_ids
+            seg_ids[off:off + n] = i
+            slot_tok[off:off + n] = req.slot
+            pos_tok[off:off + n] = np.arange(n)
+            last_idx[i] = off + n - 1
+            slots[i] = req.slot
+            off += n
+            if self.per_request:
+                scfg_i = self._req_sampling.get(req.request_id, self.scfg)
+                self.slot_params = self.slot_params.set_slot(req.slot, scfg_i)
+        slot_params = self.slot_params if self.per_request else 0
+        fn = self._get(("packed_prefill", tb), self._packed_prefill_fn, tb)
+        self.caches, tokens, counts = fn(
+            self.params, self.caches, jnp.asarray(token_ids),
+            jnp.asarray(seg_ids), jnp.asarray(slot_tok),
+            jnp.asarray(pos_tok), jnp.asarray(last_idx), jnp.asarray(slots),
+            self._next_key(), slot_params)
+        tokens = np.asarray(tokens)
+        if self.per_request and counts is not None:
+            self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
+                counts)
+        for i, req in enumerate(reqs):
+            token = int(tokens[i])
+            self.slot_lens = self.slot_lens.at[req.slot].set(
+                len(req.input_ids))
+            self.slot_tokens = self.slot_tokens.at[req.slot].set(token)
+            self.slot_active = self.slot_active.at[req.slot].set(True)
+            self.slot_budget = self.slot_budget.at[req.slot].set(
+                req.max_new_tokens)
+            self.slot_gen = self.slot_gen.at[req.slot].set(1)
+            if self.scheduler.record_token(req.request_id, token,
+                                           self.scfg.end_id):
+                self._release_slot(req.slot)
+                self._req_sampling.pop(req.request_id, None)
+                finished.append(FinishedRequest(
+                    req.request_id, req.output_ids, req.finished_reason))
+        return finished
 
     def _decode_fn(self, n_steps: int):
         cfg, scfg, model = self.cfg, self.scfg, self.model
@@ -351,12 +459,17 @@ class ServingEngine:
         KERNELS["mesh"] = None        # serving is single-device (for now)
         finished: List[FinishedRequest] = []
 
-        by_bucket: Dict[int, List[Request]] = {}
-        for req in self.scheduler.admit():
-            b = self.engine_cfg.bucket_for(len(req.input_ids))
-            by_bucket.setdefault(b, []).append(req)
-        for bucket, group in sorted(by_bucket.items()):
-            finished.extend(self._admit_group(group, bucket))
+        admitted = self.scheduler.admit()
+        if self.packed:
+            if admitted:
+                finished.extend(self._admit_packed(admitted))
+        else:
+            by_bucket: Dict[int, List[Request]] = {}
+            for req in admitted:
+                b = self.engine_cfg.bucket_for(len(req.input_ids))
+                by_bucket.setdefault(b, []).append(req)
+            for bucket, group in sorted(by_bucket.items()):
+                finished.extend(self._admit_group(group, bucket))
 
         if not bool(self.slot_active.any()):
             return finished
