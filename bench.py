@@ -86,7 +86,8 @@ def build_engine(config_name: str, batch: int, max_len: int):
                  if qm.has_int8_kv_cache() else None)
     sess = GenerationSession(
         cfg, params,
-        EngineConfig(max_batch_size=batch, max_input_len=1024,
+        EngineConfig(max_batch_size=batch,
+                     max_input_len=max(1024, max_len - 1),
                      max_seq_len=max_len),
         kv_scales=kv_scales)
     return cfg, sess

@@ -57,6 +57,10 @@ class ModelConfig:
     head_dim: int = 128
     max_position_embeddings: int = 2048
     rope_theta: float = 10000.0
+    # Partial rotary embedding width (GPT-J rotary_dim, NeoX rotary_pct —
+    # reference models/gptj/model.py:22, gptneox/model.py:21). 0 = full
+    # head_dim (LLaMA). Ignored by non-rotary families.
+    rotary_dim: int = 0
     rms_norm_eps: float = 1e-6
     dtype: str = "bfloat16"         # activation/weight compute dtype
     quant_mode: QuantMode = QuantMode(0)

@@ -136,15 +136,24 @@ def write_kv_packed_at(cache: KVCache, layer, k, v, slot_tok,
 
 
 def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
-                              positions, scale: Optional[float] = None):
+                              positions, scale: Optional[float] = None,
+                              alibi: Optional[jnp.ndarray] = None):
     """Decode step for layer `layer`: write k/v_new [B, H_kv, D] at
     `positions` and attend. Returns (attn_out [B, H_q, D], cache).
 
     Dispatches to the fused Pallas kernel (in-place aliased cache update —
     reference mmha semantics); jnp fallback = scatter write + attention.
+    `alibi` ([H_q] slopes) forces the XLA path — the decode kernels don't
+    carry the bias (reference mmha takes linear_bias_slopes the same way,
+    decoderMaskedMultiheadAttention.h).
     """
     from .registry import KERNELS, kernel
     mode = KERNELS.get("decode_attn_mode", "xla")
+    if alibi is not None:
+        cache = write_kv_decode_at(cache, layer, k_new, v_new, positions)
+        out = decode_attention(q, _layer_cache(cache, layer), positions + 1,
+                               scale, alibi=alibi)
+        return out, cache
     if mode == "dma" and kernel("dma_decode_attention") is not None:
         k_fn = kernel("dma_decode_attention")
         out, kc, vc = k_fn(q, k_new, v_new, cache.k, cache.v, cache.scale,

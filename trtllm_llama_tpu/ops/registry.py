@@ -24,8 +24,13 @@ KERNELS = {
     # Decode attention path: 'xla' (scatter + einsum), 'split' (scatter +
     # read-only pallas kernel), 'fused' (write+attend aliased kernel; writes
     # full cache panels back — r1 experiment, loses), 'dma' (HBM-resident
-    # cache, manual double-buffered DMA streaming + windowed writes).
-    # Measured 7B bs1 int8-wo TaskB/TaskA: xla 89.8/81.0, fused 68.9-77.4.
+    # cache, manual double-buffered DMA streaming + windowed writes,
+    # flash-decoding split over KV chunks).
+    # Measured 7B bs1 int8-wo (tok/s, r2): S~128: xla 89.8 / fused 68.9 /
+    # dma 70.3; S~1k: xla 81.0 / dma 65.7; S~1.9k: xla 54.1 / dma 52.2.
+    # XLA's fused decode loop wins everywhere within the 2048-position
+    # range (the dma gap closes from 22% to 3.5% as S grows, crossover
+    # extrapolates past S~4k) => default stays 'xla'.
     "decode_attn_mode": "xla",
     # Active mesh for sharded execution. When set, only the shard_map-wrapped
     # dense paths (ops/linear.py) run Pallas kernels — GSPMD cannot partition
