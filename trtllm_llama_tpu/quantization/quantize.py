@@ -29,6 +29,14 @@ from .tensors import quantize_smoothquant_weight, quantize_weight_only
 _ATTN_MLP_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def _matmul_keys(layers) -> list:
+    """Stacked projection weights of ANY family layout (llama w_gate/w_up,
+    GPT/decoder w_fc/w_proj): every [L, in, out] plain array named w*.
+    Biases/norms (ndim<3) and already-quantized containers are skipped."""
+    return [k for k, v in layers.items()
+            if k.startswith("w") and getattr(v, "ndim", 0) == 3]
+
+
 def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
                                  group_size: int = 0):
     """Random params with projections *born quantized* — never materializes
@@ -112,7 +120,7 @@ def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
         assert act_ranges is not None, "SmoothQuant needs calibrated act ranges"
         per_token = quant_mode.has_per_token_dynamic_scaling()
         per_channel = quant_mode.has_per_channel_scaling()
-        for k in _ATTN_MLP_KEYS:
+        for k in _matmul_keys(params["layers"]):
             amax = jnp.asarray(act_ranges[k], jnp.float32)   # [L] or scalar
             new_layers[k] = quantize_smoothquant_weight(
                 params["layers"][k], amax,
@@ -120,7 +128,7 @@ def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
     elif quant_mode.is_weight_only():
         w_bits = 4 if quant_mode.has_int4_weights() else 8
         gs = group_size if quant_mode.has_per_group_scaling() else 0
-        for k in _ATTN_MLP_KEYS:
+        for k in _matmul_keys(params["layers"]):
             new_layers[k] = quantize_weight_only(params["layers"][k], w_bits, gs)
     out = dict(params)
     out["layers"] = new_layers
