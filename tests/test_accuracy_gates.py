@@ -1,0 +1,92 @@
+"""Per-QuantMode accuracy gates vs the fp32 golden model.
+
+The reference's accuracy contract is "ROUGE delta <= ~1 vs FP16 HF at matched
+bit-width" on real LLaMA-7B (README.md:894-921). Zero egress -> no
+checkpoint, so CI enforces the underlying quantity at golden-model scale:
+distribution shift (KL, perplexity ratio, top-1 agreement) of each quantized
+engine vs its own fp32 params, measured on the real prefill + decode code
+paths (quantization.evaluate). Thresholds are 3-5x the values measured at
+this exact scale/seed (examples/accuracy_report.py --hidden 128 --layers 2):
+
+    mode        decode KL   ppl ratio   decode top-1
+    int8-wo     1.05e-04    1.014       0.95
+    int4-wo     2.45e-02    1.122       0.50
+    int4-wo-g   2.33e-02    1.144       0.60
+    sq-static   7.32e-04    0.997       0.85
+    sq-ptpc     1.78e-04    1.009       0.95
+    int8-kv     3.98e-05    0.999       0.95
+    int8-wo+kv  1.41e-04    1.011       0.95
+
+A regression in scale math, packing, kernels, or the int8-KV cache path blows
+straight through a 3-5x margin (e.g. a wrong per-channel axis turns int8-wo
+KL into ~1e-1).
+"""
+
+import numpy as np
+import pytest
+
+from trtllm_llama_tpu.quantization.evaluate import (build_golden_setup,
+                                                    evaluate_quant_mode,
+                                                    reference_run)
+from trtllm_llama_tpu.quantization.mode import QuantMode
+
+# (name, mode, group_size, max decode KL, max ppl ratio, min decode top-1)
+GATES = [
+    ("int8-wo", QuantMode.use_weight_only(False), 0, 2e-3, 1.08, 0.70),
+    ("int4-wo", QuantMode.use_weight_only(True), 0, 1.5e-1, 1.50, 0.30),
+    ("int4-wo-g", QuantMode.use_weight_only(True, per_group=True), 64,
+     1.5e-1, 1.50, 0.30),
+    ("sq-static", QuantMode.use_smooth_quant(), 0, 8e-3, 1.08, 0.60),
+    ("sq-ptpc", QuantMode.use_smooth_quant(per_token=True, per_channel=True),
+     0, 3e-3, 1.08, 0.70),
+    ("int8-kv", QuantMode.INT8_KV_CACHE, 0, 1e-3, 1.05, 0.70),
+    ("int8-wo+kv", QuantMode.use_weight_only(False) | QuantMode.INT8_KV_CACHE,
+     0, 2e-3, 1.08, 0.70),
+]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    cfg, params, act_ranges, kv_scales, _ = build_golden_setup(
+        hidden=128, layers=2, intermediate=256, vocab=256)
+    prompts = np.random.default_rng(0).integers(3, 256, (2, 16))
+    ref = reference_run(cfg, params, prompts, cont_len=10)
+    rows = {}
+    for name, qm, gs, *_ in GATES:
+        rows[name] = evaluate_quant_mode(
+            cfg, params, name, qm, prompts, act_ranges=act_ranges,
+            kv_scales=kv_scales, group_size=gs, cont_len=10, ref_run=ref)
+    return rows
+
+
+@pytest.mark.parametrize("name,qm,gs,max_kl,max_ppl,min_top1",
+                         GATES, ids=[g[0] for g in GATES])
+def test_quant_mode_gate(golden, name, qm, gs, max_kl, max_ppl, min_top1):
+    row = golden[name]
+    assert row["decode_kl"] <= max_kl, row
+    assert row["prefill_kl"] <= max_kl, row
+    assert row["ppl_ratio"] <= max_ppl, row
+    assert row["decode_top1"] >= min_top1, row
+
+
+def test_int8_beats_int4(golden):
+    """Bit-width ordering must hold (as in the reference's ROUGE table,
+    where int4 shows the largest delta): int8 strictly tighter than int4."""
+    assert golden["int8-wo"]["decode_kl"] < golden["int4-wo"]["decode_kl"]
+    assert golden["int8-wo"]["ppl_ratio"] < golden["int4-wo"]["ppl_ratio"]
+
+
+def test_per_token_beats_static_sq(golden):
+    """Per-token dynamic scaling must reduce SQ activation-quant error
+    (the reason the per-token mode exists, quantizePerTokenPlugin)."""
+    assert (golden["sq-ptpc"]["decode_kl"]
+            < golden["sq-static"]["decode_kl"])
+
+
+def test_int8_kv_prefill_exact(golden):
+    """Prefill logits are computed from in-graph fp K/V (the quantized cache
+    write is not re-read within the same prefill), so the int8-KV mode's
+    prefill distribution must be bit-exact vs fp32; all its error appears in
+    the decode phase, which reads the int8 cache back."""
+    assert golden["int8-kv"]["prefill_kl"] == 0.0
+    assert golden["int8-kv"]["decode_kl"] > 0.0
