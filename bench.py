@@ -117,8 +117,17 @@ def serving_bench(config_name: str):
     ecfg = EngineConfig(max_batch_size=slots, max_input_len=in_len,
                         max_seq_len=in_len + out_len + 8,
                         prefill_buckets=(in_len,))
+    paged = bool(int(os.environ.get("BENCH_PAGED", "0")))
+    pmode = os.environ.get("BENCH_PAGED_ATTN")   # {fused, xla}
+    if pmode:
+        from trtllm_llama_tpu.ops.registry import KERNELS
+        KERNELS["paged_attn_mode"] = pmode
+    packed = bool(int(os.environ.get("BENCH_PACKED", "0")))
     eng = ServingEngine(cfg, params, ecfg,
-                        sampling=SamplingConfig(end_id=-1), decode_chunk=16)
+                        sampling=SamplingConfig(end_id=-1), decode_chunk=16,
+                        paged=paged,
+                        block_size=int(os.environ.get("BENCH_BLOCK", "64")),
+                        packed_prefill=packed)
     rng = np.random.default_rng(0)
     # warm the compile path with one request
     rid = eng.submit(rng.integers(3, cfg.vocab_size, (in_len,)).tolist(), out_len)
@@ -134,7 +143,9 @@ def serving_bench(config_name: str):
     total_tokens = sum(len(d.output_ids) for d in done.values())
     _emit({
         "metric": f"serving throughput (LLaMA-7B {config_name}, "
-                  f"{slots} slots, {n_req} reqs, in{in_len} out{out_len})",
+                  f"{slots} slots, {n_req} reqs, in{in_len} out{out_len}"
+                  + (", paged" if paged else "")
+                  + (", packed" if packed else "") + ")",
         "value": round(total_tokens / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching

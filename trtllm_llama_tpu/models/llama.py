@@ -34,8 +34,7 @@ from ..ops.attention import (
     prefill_attention, write_kv_packed_at, write_kv_prefill_at,
 )
 from ..ops.paged_attention import (
-    PagedKVCache, paged_decode_attention_at, paged_write_decode_at,
-    paged_write_prefill_at,
+    PagedKVCache, paged_fused_decode_attention_at, paged_write_prefill_at,
 )
 from ..ops.linear import dense, dense_prequant, embedding_lookup
 from ..ops.norm import rms_norm, rms_norm_quant
@@ -141,8 +140,8 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     elif decode:
         # q,k,v: [B, H, D]; cos/sin: [B, 1, d] broadcast over heads
         if paged:
-            caches = paged_write_decode_at(caches, layer, k, v, seq_lens)
-            attn = paged_decode_attention_at(q, caches, layer, seq_lens + 1)
+            attn, caches = paged_fused_decode_attention_at(
+                q, k, v, caches, layer, seq_lens)
         else:
             attn, caches = fused_decode_attention_at(
                 q, k, v, caches, layer, seq_lens)

@@ -105,6 +105,33 @@ def paged_write_decode_at(cache: PagedKVCache, layer, k, v,
     return cache._replace(pool_k=pk, pool_v=pv)
 
 
+def paged_fused_decode_attention_at(q, k_new, v_new, cache: PagedKVCache,
+                                    layer, positions,
+                                    scale: Optional[float] = None):
+    """Decode step over the paged cache: write k/v_new [B, H_kv, D] at
+    `positions` and attend over positions+1 tokens. Returns (out, cache).
+
+    Dispatches to the fused Pallas kernel (in-kernel block-table chasing —
+    only the valid blocks are touched, pools aliased in place); the XLA
+    fallback scatters the write and materializes a dense gathered view
+    (paged_decode_attention_at below).
+    """
+    from .registry import KERNELS, kernel
+    k_fn = kernel("paged_decode_attention")
+    nb, bs = cache.pool_k.shape[1], cache.pool_k.shape[3]
+    w = 32 if cache.pool_k.dtype == jnp.int8 else 8
+    if (k_fn is not None and bs % w == 0 and q.shape[-1] % 128 == 0
+            and KERNELS.get("paged_attn_mode", "fused") == "fused"):
+        tables = jnp.where(cache.tables < 0, nb - 1, cache.tables)
+        out, pk, pv = k_fn(q, k_new, v_new, cache.pool_k, cache.pool_v,
+                           cache.scale, tables, layer, positions,
+                           sm_scale=scale)
+        return out, cache._replace(pool_k=pk, pool_v=pv)
+    cache = paged_write_decode_at(cache, layer, k_new, v_new, positions)
+    return paged_decode_attention_at(q, cache, layer, positions + 1,
+                                     scale), cache
+
+
 def paged_decode_attention_at(q, cache: PagedKVCache, layer, cache_lens,
                               scale: Optional[float] = None):
     """Single-token attention over paged KV. q: [B, H_q, D]; cache_lens: [B]

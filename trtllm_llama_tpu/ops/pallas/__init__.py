@@ -9,6 +9,7 @@ from .attention import (
     packed_prefill_attention_kernel, prefill_attention_kernel,
 )
 from .dma_decode_attention import dma_decode_attention
+from .paged_decode_attention import paged_decode_attention
 from .rmsnorm_quant import rmsnorm_quant_kernel
 from .w8a8_matmul import w8a8_matmul, w8a8_matmul_stacked
 from .woq_matmul import woq_matmul, woq_matmul_stacked
@@ -22,6 +23,7 @@ def register(registry: dict):
     registry["decode_attention"] = decode_attention_kernel
     registry["fused_decode_attention"] = fused_decode_attention
     registry["dma_decode_attention"] = dma_decode_attention
+    registry["paged_decode_attention"] = paged_decode_attention
     registry["prefill_attention"] = prefill_attention_kernel
     registry["packed_prefill_attention"] = packed_prefill_attention_kernel
     registry["rmsnorm_quant"] = rmsnorm_quant_kernel

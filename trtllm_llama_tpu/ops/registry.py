@@ -18,6 +18,7 @@ KERNELS = {
     "decode_attention": None,
     "fused_decode_attention": None,
     "dma_decode_attention": None,
+    "paged_decode_attention": None,
     "prefill_attention": None,
     "packed_prefill_attention": None,
     "rmsnorm_quant": None,
@@ -32,6 +33,10 @@ KERNELS = {
     # range (the dma gap closes from 22% to 3.5% as S grows, crossover
     # extrapolates past S~4k) => default stays 'xla'.
     "decode_attn_mode": "xla",
+    # Paged decode attention: 'fused' (block-table-chasing Pallas kernel,
+    # windowed write + streamed valid blocks) or 'xla' (scatter write +
+    # dense gathered view per step).
+    "paged_attn_mode": "fused",
     # Active mesh for sharded execution. When set, only the shard_map-wrapped
     # dense paths (ops/linear.py) run Pallas kernels — GSPMD cannot partition
     # a bare pallas_call, so every other kernel falls back to XLA (which GSPMD
@@ -41,6 +46,9 @@ KERNELS = {
 
 
 def enable_pallas_kernels(enabled: bool = True):
+    import os
+    if os.environ.get("TLLM_DISABLE_KERNELS"):   # experiment/bisect knob
+        enabled = False
     if enabled:
         from . import pallas as _p
         _p.register(KERNELS)

@@ -9,9 +9,15 @@ generation.py:30,991).
 TPU design: beams live as extra batch rows ([B*W] layout). Instead of the
 reference's cache-indirection tables (pointer-chased inside the mmha
 kernel), beam reordering physically gathers the KV cache along the batch
-axis each step — one [B*W, H, S, D] gather, XLA-fused, branchless. Token
-histories are carried per-slot and re-gathered with their parent beams, so
-no final gatherTree backtrack is needed: the history IS the path.
+axis — but only over the *generated window* [prefill_len, prefill_len +
+max_new): every beam of a batch ran the identical tiled prefill, so the
+prefix is bit-identical across beams and never needs reordering. Per step
+that is O(L*BW*H*T_new*D) HBM traffic instead of O(..*S..) — the TPU shape
+of the reference's cache_indirection trick (generation.py:991), with the
+indirection resolved eagerly by a windowed gather+scatter instead of
+pointer-chasing inside the attention kernel. Token histories are carried
+per-slot and re-gathered with their parent beams, so no final gatherTree
+backtrack is needed: the history IS the path.
 
 Scoring: cumulative log-probs with Google-style length penalty
 ((5+len)/6)^alpha (the reference's length_penalty semantics). Finished
@@ -32,6 +38,19 @@ def _tile_beams(x, w):
     """[B, ...] -> [B*W, ...] by repeating each row W times
     (reference _tile_beam_width, generation.py:30)."""
     return jnp.repeat(x, w, axis=0)
+
+
+def _gather_cache_window(a, gidx, base, tnew: int):
+    """Reorder a stacked cache [L, BW, H, S, D] to parent beams, touching
+    only the generated window of `tnew` positions starting at `base` [BW]
+    (the per-row prefill length; identical within a batch, so a row and its
+    parent share the same window)."""
+    l, bw, h, s, d = a.shape
+    win = jnp.minimum(base[:, None] + jnp.arange(tnew), s - 1)   # [BW, T]
+    # gather window rows from parents: advanced indices at axes 1 and 3
+    # (separated by a slice) -> [BW, T, L, H, D]
+    seg = a[:, gidx[:, None], :, win, :]
+    return a.at[:, jnp.arange(bw)[:, None], :, win, :].set(seg)
 
 
 def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
@@ -94,10 +113,12 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
         parent = (top_i // v).astype(jnp.int32)           # [B, W]
         tok = (top_i % v).astype(jnp.int32)
 
-        # Gather state from parent beams.
+        # Gather state from parent beams (caches: generated window only —
+        # the tiled prefill prefix is identical across beams).
         gidx = (jnp.arange(b)[:, None] * w + parent).reshape(bw)  # [BW]
         caches = jax.tree.map(
-            lambda a: jnp.take(a, gidx, axis=1) if a.ndim >= 2 else a,
+            lambda a: (_gather_cache_window(a, gidx, lens_t, max_new_tokens)
+                       if a.ndim == 5 else a),
             caches)
         out = jnp.take_along_axis(out, parent[:, :, None], axis=1)
         out_lens = jnp.take_along_axis(out_lens, parent, axis=1)

@@ -257,7 +257,12 @@ class GenerationSession:
                     end_id=scfg.end_id, pad_id=scfg.pad_id,
                     length_penalty=scfg.length_penalty)
 
-            self._fn_cache[key] = jax.jit(fn, donate_argnums=(3,))
+            # no donation: beam_search_decode returns only (ids, lens,
+            # scores) — the cache is scan-carried (aliased in place inside
+            # the loop) but is not an output, so donating its argument
+            # cannot alias anything and only triggers XLA's
+            # donated-buffers-not-usable warning.
+            self._fn_cache[key] = jax.jit(fn)
         caches = self.make_caches(b * scfg.beam_width, max_len)
         out, lens, scores = self._fn_cache[key](
             self.params, jnp.asarray(padded),
