@@ -8,18 +8,20 @@ token. This kernel chases the block table itself, so per step it touches
 exactly
 
   - one W-row window of the write block (the new token's K/V, RMW), and
-  - ceil((pos+1)/BS) valid blocks per head, streamed HBM->VMEM
-    double-buffered with online softmax (flash-decoding over blocks).
+  - ceil((pos+1)/BS) valid blocks, streamed HBM->VMEM double-buffered
+    with online softmax (flash-decoding over blocks).
 
-Pools stay in HBM (`pl.ANY`) with layout [L, NB, H_kv, BS, D]; the layer
-index, block tables, positions, and int8-KV scales are scalar-prefetched
-(SMEM) so the model's lax.scan over layers never slices the pool into a
-copy, and table entries become DMA source addresses. Pools are aliased
-in/out (in-place update, donated by the runtime). INT8-KV dequantizes in
-VMEM; HBM traffic stays int8.
-
-Structure follows dma_decode_attention.py (same windowed-write + streaming
-loop), with the block table replacing contiguous addressing.
+DMA granularity is one whole block across ALL kv heads ([H_kv, BS, D] —
+512 KB at 7B geometry), not per-head panels: decode attention at serving
+batch sizes is DMA-latency-bound, so the kernel amortizes each transfer
+over the full head loop (statically unrolled; per-head online-softmax
+state lives in VMEM scratch with the head index on an untiled leading
+axis). Pools stay in HBM (`pl.ANY`) with layout [L, NB, H_kv, BS, D]; the
+layer index, block tables, positions, and int8-KV scales are
+scalar-prefetched (SMEM) so the model's lax.scan over layers never slices
+the pool into a copy, and table entries become DMA source addresses.
+Pools are aliased in/out (in-place update, donated by the runtime).
+INT8-KV dequantizes in VMEM; HBM traffic stays int8.
 """
 
 from __future__ import annotations
@@ -37,7 +39,8 @@ NEG_INF = -1e9
 def _paged_decode_kernel(lyr_ref, pos_ref, scale_ref, tbl_ref,
                          q_ref, kn_ref, vn_ref, pk_in, pv_in,
                          pk, pv, o_ref,
-                         win_k, win_v, kbuf, vbuf, wsem, ksem, vsem,
+                         win_k, win_v, kbuf, vbuf, m_scr, l_scr, acc_scr,
+                         wsem, ksem, vsem,
                          *, sm_scale, kv_int8, W, BS, hkv, r, d):
     del pk_in, pv_in     # aliased with pk/pv; all access via the out refs
     b = pl.program_id(0)
@@ -45,7 +48,11 @@ def _paged_decode_kernel(lyr_ref, pos_ref, scale_ref, tbl_ref,
     pos = pos_ref[b]
     kv_scale = scale_ref[lyr] if kv_int8 else None
 
-    # ---- 1. KV write: W-row window RMW inside the write block ----
+    # ---- 1. KV write: W-row window RMW inside the write block. The HBM
+    # write-back is NOT on the attention critical path: the streamed copy of
+    # the write block is patched with the new token's row in VMEM, so the
+    # only ordering is wr.wait() before kernel exit (next layer/step reads
+    # the updated pool).
     blk_w = tbl_ref[b, pos // BS]
     row = pos % BS
     base = pl.multiple_of((row // W) * W, W)
@@ -55,6 +62,23 @@ def _paged_decode_kernel(lyr_ref, pos_ref, scale_ref, tbl_ref,
         pv.at[lyr, blk_w, :, pl.ds(base, W), :], win_v, wsem.at[1])
     rd_k.start()
     rd_v.start()
+
+    # ---- 2. stream whole blocks (all heads per DMA), online softmax ----
+    nv = pos // BS + 1                  # valid blocks for this sequence
+
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def start(j, slot):
+        blk = tbl_ref[b, j]
+        pltpu.make_async_copy(
+            pk.at[lyr, blk], kbuf.at[slot], ksem.at[slot]).start()
+        pltpu.make_async_copy(
+            pv.at[lyr, blk], vbuf.at[slot], vsem.at[slot]).start()
+
+    start(0, 0)
+
     if kv_int8:
         inv = 1.0 / kv_scale
         k_new = jnp.clip(jnp.round(kn_ref[0].astype(jnp.float32) * inv),
@@ -75,77 +99,59 @@ def _paged_decode_kernel(lyr_ref, pos_ref, scale_ref, tbl_ref,
         win_v, pv.at[lyr, blk_w, :, pl.ds(base, W), :], wsem.at[1])
     wr_k.start()
     wr_v.start()
-    wr_k.wait()          # streaming below re-reads this block
-    wr_v.wait()
 
-    # ---- 2. stream valid blocks per head, online softmax ----
-    nv = pos // BS + 1                  # valid blocks for this sequence
-    total = hkv * nv
+    def body(j, _):
+        slot = j % 2
 
-    def start(it, slot):
-        h = it // nv
-        j = it % nv
-        blk = tbl_ref[b, j]
-        pltpu.make_async_copy(
-            pk.at[lyr, blk, h], kbuf.at[slot], ksem.at[slot]).start()
-        pltpu.make_async_copy(
-            pv.at[lyr, blk, h], vbuf.at[slot], vsem.at[slot]).start()
-
-    start(0, 0)
-
-    def body(it, carry):
-        m, l, acc = carry
-        slot = it % 2
-
-        @pl.when(it + 1 < total)
+        @pl.when(j + 1 < nv)
         def _():
-            start(it + 1, (it + 1) % 2)
+            start(j + 1, (j + 1) % 2)
 
-        h = it // nv
-        j = it % nv
         blk = tbl_ref[b, j]
-        pltpu.make_async_copy(pk.at[lyr, blk, h],
+        pltpu.make_async_copy(pk.at[lyr, blk],
                               kbuf.at[slot], ksem.at[slot]).wait()
-        pltpu.make_async_copy(pv.at[lyr, blk, h],
+        pltpu.make_async_copy(pv.at[lyr, blk],
                               vbuf.at[slot], vsem.at[slot]).wait()
-        if kv_int8:
-            k = kbuf[slot].astype(jnp.float32) * kv_scale
-            v = vbuf[slot].astype(jnp.float32) * kv_scale
-        else:
-            k = kbuf[slot].astype(jnp.float32)
-            v = vbuf[slot].astype(jnp.float32)
-        qh = q_ref[0, h].astype(jnp.float32)                # [r, d]
-        scores = jax.lax.dot_general(
-            k, qh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # [BS, r]
         rows = jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0) + j * BS
-        scores = jnp.where(rows <= pos, scores, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
-        p = jnp.exp(scores - m_new)                         # [BS, r]
-        alpha = jnp.exp(m - m_new)                          # [1, r]
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        pv_acc = jax.lax.dot_general(
-            p, v, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [r, d]
-        acc_new = acc * alpha.reshape(r, 1) + pv_acc
+        keep = rows <= pos
+        # patch the new token's row in VMEM — the streamed copy may predate
+        # (or race with) the async window write-back
+        is_pos = rows == pos
+        for h in range(hkv):            # static unroll: one DMA, all heads
+            kh = jnp.where(is_pos, k_new[h][None, :], kbuf[slot, h])
+            vh = jnp.where(is_pos, v_new[h][None, :], vbuf[slot, h])
+            if kv_int8:
+                k = kh.astype(jnp.float32) * kv_scale
+                v = vh.astype(jnp.float32) * kv_scale
+            else:
+                k = kh.astype(jnp.float32)
+                v = vh.astype(jnp.float32)
+            qh = q_ref[0, h].astype(jnp.float32)            # [r, d]
+            scores = jax.lax.dot_general(
+                k, qh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # [BS, r]
+            scores = jnp.where(keep, scores, NEG_INF)
+            m = m_scr[h]                                    # [1, r]
+            l = l_scr[h]
+            m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
+            p = jnp.exp(scores - m_new)                     # [BS, r]
+            alpha = jnp.exp(m - m_new)                      # [1, r]
+            l_scr[h] = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            m_scr[h] = m_new
+            pv_acc = jax.lax.dot_general(
+                p, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [r, d]
+            acc_scr[h] = acc_scr[h] * alpha.reshape(r, 1) + pv_acc
+        return 0
 
-        is_last = j == nv - 1
+    jax.lax.fori_loop(0, nv, body, 0)
 
-        @pl.when(is_last)
-        def _():
-            o_ref[0, h] = (acc_new
-                           / l_new.reshape(r, 1)).astype(o_ref.dtype)
+    for h in range(hkv):
+        o_ref[0, h] = (acc_scr[h]
+                       / l_scr[h].reshape(r, 1)).astype(o_ref.dtype)
 
-        # reset accumulators at head boundaries
-        m = jnp.where(is_last, jnp.full_like(m, NEG_INF), m_new)
-        l = jnp.where(is_last, jnp.zeros_like(l), l_new)
-        acc = jnp.where(is_last, jnp.zeros_like(acc), acc_new)
-        return m, l, acc
-
-    init = (jnp.full((1, r), NEG_INF, jnp.float32),
-            jnp.zeros((1, r), jnp.float32),
-            jnp.zeros((r, d), jnp.float32))
-    jax.lax.fori_loop(0, total, body, init)
+    wr_k.wait()          # pool update must land before the kernel returns
+    wr_v.wait()
 
 
 def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, kv_scale,
@@ -193,8 +199,11 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, kv_scale,
         scratch_shapes=[
             pltpu.VMEM((hkv, W, d), pool_k.dtype),      # win_k
             pltpu.VMEM((hkv, W, d), pool_k.dtype),      # win_v
-            pltpu.VMEM((2, bs, d), pool_k.dtype),       # kbuf (double)
-            pltpu.VMEM((2, bs, d), pool_k.dtype),       # vbuf
+            pltpu.VMEM((2, hkv, bs, d), pool_k.dtype),  # kbuf (double)
+            pltpu.VMEM((2, hkv, bs, d), pool_k.dtype),  # vbuf
+            pltpu.VMEM((hkv, 1, r), jnp.float32),       # running max
+            pltpu.VMEM((hkv, 1, r), jnp.float32),       # running denom
+            pltpu.VMEM((hkv, r, d), jnp.float32),       # running numerator
             pltpu.SemaphoreType.DMA((2,)),              # window sems
             pltpu.SemaphoreType.DMA((2,)),              # k stream sems
             pltpu.SemaphoreType.DMA((2,)),              # v stream sems

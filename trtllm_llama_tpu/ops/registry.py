@@ -34,8 +34,12 @@ KERNELS = {
     # extrapolates past S~4k) => default stays 'xla'.
     "decode_attn_mode": "xla",
     # Paged decode attention: 'fused' (block-table-chasing Pallas kernel,
-    # windowed write + streamed valid blocks) or 'xla' (scatter write +
-    # dense gathered view per step).
+    # windowed write + whole-block streaming, online softmax) or 'xla'
+    # (scatter write + dense gathered view per step). Measured 7B int8-wo
+    # serving (8 slots, in128/out64, tok/s, r2): fused 345.9-346.6 vs
+    # xla 309.9 vs dense-cache 361.2-365.7 — the kernel closes the paged
+    # gap to <5% of dense (per-(head,block) DMA variant measured 189;
+    # whole-block DMAs + VMEM write patching are what close it).
     "paged_attn_mode": "fused",
     # Active mesh for sharded execution. When set, only the shard_map-wrapped
     # dense paths (ops/linear.py) run Pallas kernels — GSPMD cannot partition
