@@ -221,20 +221,23 @@ def _gqa_repeat(x, n_rep: int):
 
 
 def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None,
-                      alibi: Optional[jnp.ndarray] = None):
+                      alibi: Optional[jnp.ndarray] = None,
+                      causal: bool = True):
     """Causal self-attention over a full prompt.
 
     q: [B, S, H_q, D]; k, v: [B, S, H_kv, D]; seq_lens: optional [B] true
     lengths (positions >= len are masked out as keys). `alibi`: optional
     [H_q] slopes — adds slope*key_pos to the scores (row-constant shifts
     cancel in softmax, so key-position-only bias == the (j-i) formulation;
-    reference ALiBi branch layers/attention.py:325-328). Returns
-    [B, S, H_q, D]. Dispatches to the Pallas prefill kernel (FMHA-cubin
-    equivalent) when kernels are enabled and shapes are TPU-tileable.
+    reference ALiBi branch layers/attention.py:325-328). `causal=False`
+    gives the encoder (BERT, reference bertAttentionPlugin) variant:
+    bidirectional with only the length mask. Returns [B, S, H_q, D].
+    Dispatches to the Pallas prefill kernel (FMHA-cubin equivalent) when
+    kernels are enabled and shapes are TPU-tileable.
     """
     from .registry import kernel
     k_fn = kernel("prefill_attention")
-    if k_fn is not None and q.shape[-1] % 128 == 0:
+    if k_fn is not None and q.shape[-1] % 128 == 0 and causal:
         return k_fn(q, k, v, seq_lens, sm_scale=scale, alibi=alibi)
     b, s, hq, d = q.shape
     hkv = k.shape[2]
@@ -249,7 +252,8 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None,
     if alibi is not None:
         logits = logits + (alibi.reshape(1, hq, 1, 1)
                            * cols.reshape(1, 1, 1, s))
-    mask = cols <= rows                                          # causal
+    mask = (cols <= rows if causal
+            else jnp.ones((s, s), bool))                         # causal/enc
     if seq_lens is not None:
         mask = mask & (cols[None] < seq_lens[:, None, None])
         mask = mask[:, None]                                     # [B,1,S,S]
