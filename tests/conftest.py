@@ -16,12 +16,19 @@ import os
 # executables risks cross-machine AOT feature mismatches).
 os.environ["TLLM_NO_COMPILE_CACHE"] = "1"
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("TLLM_TPU_TESTS"):
+    # Real-chip mode: run only the TPU-marked kernel tests —
+    #   TLLM_TPU_TESTS=1 pytest tests/test_tpu_kernels.py -q
+    # Mosaic-compiled behavior (alignment, bitcasts, scalar prefetch, DMA)
+    # differs from interpret mode; this is the pre-bench regression canary.
+    import jax  # noqa: E402
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
