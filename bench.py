@@ -8,7 +8,7 @@ tokens/s on the matching config (LLaMA-7B, weight-only INT8, bs 1) divided
 by that. Weights are random — decode throughput is weight-value independent.
 
 Env knobs:
-  BENCH_CONFIG   fp16 | int8 | int4 | int8kv | sq     (default int8)
+  BENCH_CONFIG   fp16 | int8 | int4 | int8kv | sq | fp8 | fp8kv  (default int8)
   BENCH_BATCH    batch size                           (default 1)
   BENCH_IN/OUT   prompt len / new tokens              (default 8 / 50)
 """
@@ -44,6 +44,8 @@ _BASELINE_TOKS_PER_S = {
     "int4": 50 / 0.48769,    # weight-only INT4            -> 102.52
     "int8kv": 50 / 1.40520,  # INT8 KV cache               -> 35.58
     "sq": 50 / 0.78494,      # reference SQ never built; use INT8 row
+    "fp8": 50 / 1.40416,     # reference FP8 was stubs; use FP16 row
+    "fp8kv": 50 / 1.40416,
 }
 
 # A10 reference Task-A totals: 20 articles x 100 tokens, in<=923 (BASELINE.md)
@@ -53,6 +55,8 @@ _BASELINE_TASK_A_TOKS_PER_S = {
     "int4": 2000 / 28.596,   # -> 69.94
     "int8kv": 2000 / 66.319, # -> 30.16
     "sq": 2000 / 40.297,
+    "fp8": 2000 / 66.031,
+    "fp8kv": 2000 / 66.031,
 }
 
 
@@ -74,6 +78,8 @@ def build_engine(config_name: str, batch: int, max_len: int):
         "int4": QuantMode.use_weight_only(True, per_group=True),
         "int8kv": QuantMode.INT8_KV_CACHE,
         "sq": QuantMode.use_smooth_quant(per_token=True, per_channel=True),
+        "fp8": QuantMode.FP8_QDQ,
+        "fp8kv": QuantMode.FP8_QDQ | QuantMode.FP8_KV_CACHE,
     }[config_name]
     group = 128 if config_name == "int4" else 0
     cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group)
@@ -83,7 +89,8 @@ def build_engine(config_name: str, batch: int, max_len: int):
     from trtllm_llama_tpu.quantization.quantize import init_random_quantized_params
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm, group)
     kv_scales = (np.full((cfg.num_layers,), 0.05, np.float32)
-                 if qm.has_int8_kv_cache() else None)
+                 if (qm.has_int8_kv_cache() or qm.has_fp8_kv_cache())
+                 else None)
     sess = GenerationSession(
         cfg, params,
         EngineConfig(max_batch_size=batch,

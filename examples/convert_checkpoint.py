@@ -41,6 +41,11 @@ def parse_args():
     p.add_argument("--per_channel", action="store_true")
     p.add_argument("--smoothquant_alpha", type=float, default=0.5)
     p.add_argument("--int8_kv_cache", action="store_true")
+    p.add_argument("--enable_fp8", action="store_true",
+                   help="FP8 (e4m3) Q/DQ weights (reference build.py "
+                        "--enable_fp8; its FP8 layers were stubs)")
+    p.add_argument("--fp8_kv_cache", action="store_true",
+                   help="FP8 (e4m3) KV cache (requires --calib_file)")
     p.add_argument("--quantize_lm_head", action="store_true",
                    help="weight-only-quantize lm_head too (reference always "
                         "excludes it)")
@@ -62,10 +67,14 @@ def main():
         qm = QuantMode.use_weight_only(
             use_int4_weights=args.weight_bits == 4,
             per_group=args.weight_bits == 4 and args.group_size > 0)
+    elif args.enable_fp8:
+        qm = QuantMode.FP8_QDQ
     else:
         qm = QuantMode.NONE
     if args.int8_kv_cache:
         qm |= QuantMode.INT8_KV_CACHE
+    if args.fp8_kv_cache:
+        qm |= QuantMode.FP8_KV_CACHE
 
     calib_texts = None
     if args.calib_file:

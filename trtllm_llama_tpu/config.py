@@ -25,6 +25,9 @@ _DTYPE_MAP = {
     "float16": jnp.float16,
     "bfloat16": jnp.bfloat16,
     "int8": jnp.int8,
+    # fp8 KV-cache storage: e4m3fn bit-codes in uint8 arrays (ops/fp8.py —
+    # native fp8 dtypes hang this backend's remote compile).
+    "fp8": jnp.uint8,
 }
 
 
@@ -73,6 +76,8 @@ class ModelConfig:
     def kv_dtype(self) -> str:
         if self.quant_mode.has_int8_kv_cache():
             return "int8"
+        if self.quant_mode.has_fp8_kv_cache():
+            return "fp8"
         return self.dtype
 
     @property

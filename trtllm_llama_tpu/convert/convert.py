@@ -47,12 +47,13 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
                                      group_size=group_size)
 
     needs_calib = (quant_mode.has_act_and_weight_quant()
-                   or quant_mode.has_int8_kv_cache())
+                   or quant_mode.has_int8_kv_cache()
+                   or quant_mode.has_fp8_kv_cache())
     ranges = None
     if needs_calib:
         if calib_texts is None:
             raise ValueError(
-                "SmoothQuant / INT8-KV conversion requires calib_texts "
+                "SmoothQuant / quantized-KV conversion requires calib_texts "
                 "(the reference uses the lambada set, "
                 "hf_llama_convert.py:282-304)")
         ranges = capture_activation_ranges(
@@ -74,6 +75,8 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
     kv_scales = None
     if quant_mode.has_int8_kv_cache():
         kv_scales = kv_scales_from_ranges(ranges)
+    elif quant_mode.has_fp8_kv_cache():
+        kv_scales = kv_scales_from_ranges(ranges, qmax=448.0)
 
     os.makedirs(out_dir, exist_ok=True)
     save_engine(out_dir, cfg, params, kv_scales)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import ml_dtypes
 
 from ..config import ModelConfig
-from ..quantization.tensors import SQWeight, WOQWeight
+from ..quantization.tensors import FP8Weight, SQWeight, WOQWeight
 
 _FORMAT_VERSION = 1
 
@@ -84,6 +84,8 @@ def save_engine(out_dir: str, cfg: ModelConfig, params,
             manifest["containers"][prefix] = {
                 "type": "SQWeight", "per_channel": tree.per_channel,
                 "per_token": tree.per_token}
+        elif isinstance(tree, FP8Weight):
+            manifest["containers"][prefix] = {"type": "FP8Weight"}
         elif isinstance(tree, dict):
             for k, v in tree.items():
                 record_containers(v, f"{prefix}.{k}" if prefix else k)
@@ -132,6 +134,8 @@ def load_engine(engine_dir: str
                     return SQWeight(node["qweight"], node["scale_w"],
                                     node["scale_x"], node["scale_y"],
                                     cmeta["per_channel"], cmeta["per_token"])
+                if cmeta["type"] == "FP8Weight":
+                    return FP8Weight(node["qweight"], node["scale"])
             return {k: wrap(v, f"{prefix}.{k}" if prefix else k)
                     for k, v in node.items()}
         return node

@@ -83,7 +83,8 @@ def init_caches(cfg: ModelConfig, batch: int, max_len: int,
 
     kv_scales: optional [L] calibrated int8-KV scales (converter output).
     """
-    kv_dtype = jnp.int8 if cfg.quant_mode.has_int8_kv_cache() else cfg.jnp_dtype
+    from ..config import str_dtype_to_jnp
+    kv_dtype = str_dtype_to_jnp(cfg.kv_dtype)   # int8 / fp8-as-uint8 / fp
     # Align the cache length to 128 rows: keeps the manual-DMA decode
     # kernel's chunk streaming on >=128-row DMAs (a 1128-row cache would
     # otherwise only admit 8-row chunks - measured 29 tok/s vs 81) and

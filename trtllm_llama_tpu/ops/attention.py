@@ -51,12 +51,18 @@ def _quant_kv(x, cache: KVCache):
     if cache.k.dtype == jnp.int8:
         q = jnp.round(x.astype(jnp.float32) / cache.scale)
         return jnp.clip(q, -127, 127).astype(jnp.int8)
+    if cache.k.dtype == jnp.uint8:        # fp8 (e4m3 bit-codes, ops/fp8.py)
+        from .fp8 import fp8_encode
+        return fp8_encode(x.astype(jnp.float32) / cache.scale)
     return x.astype(cache.k.dtype)
 
 
 def _dequant_kv(x, cache: KVCache, dtype):
     if cache.k.dtype == jnp.int8:
         return (x.astype(jnp.float32) * cache.scale).astype(dtype)
+    if cache.k.dtype == jnp.uint8:
+        from .fp8 import fp8_decode
+        return (fp8_decode(x) * cache.scale).astype(dtype)
     return x.astype(dtype)
 
 
@@ -149,6 +155,10 @@ def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
     """
     from .registry import KERNELS, kernel
     mode = KERNELS.get("decode_attn_mode", "xla")
+    if cache.k.dtype == jnp.uint8:
+        # fp8-KV: the pallas decode kernels only speak bf16/int8 caches;
+        # the XLA path dequantizes via the fp8 codec.
+        mode = "xla"
     if alibi is not None:
         cache = write_kv_decode_at(cache, layer, k_new, v_new, positions)
         out = decode_attention(q, _layer_cache(cache, layer), positions + 1,
@@ -184,7 +194,7 @@ def decode_attention_at(q, cache: KVCache, layer, cache_lens,
     """
     from .registry import kernel
     k_fn = kernel("decode_attention")
-    if k_fn is not None:
+    if k_fn is not None and cache.k.dtype != jnp.uint8:
         return k_fn(q, cache.k, cache.v, cache.scale, layer, cache_lens,
                     sm_scale=scale)
     return decode_attention(q, _layer_cache(cache, layer), cache_lens, scale)

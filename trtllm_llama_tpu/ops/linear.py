@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..quantization.tensors import (
-    SQWeight, WOQWeight, quantize_per_token, quantize_static, unpack_int4,
+    FP8Weight, SQWeight, WOQWeight, quantize_per_token, quantize_static,
+    unpack_int4,
 )
 
 from .registry import KERNELS as _PALLAS
@@ -62,6 +63,8 @@ def _index_layer(w, layer):
     if isinstance(w, SQWeight):
         return SQWeight(idx(w.qweight), idx(w.scale_w), idx(w.scale_x),
                         idx(w.scale_y), w.per_channel, w.per_token)
+    if isinstance(w, FP8Weight):
+        return FP8Weight(idx(w.qweight), idx(w.scale))
     return idx(w)
 
 
@@ -105,6 +108,8 @@ def dense(x, w, out_dtype=None, layer=None, part=None):
         return _dense_woq(x, w, out_dtype)
     if isinstance(w, SQWeight):
         return _dense_sq(x, w, out_dtype)
+    if isinstance(w, FP8Weight):
+        return _dense_fp8(x, w, out_dtype)
     out_dtype = out_dtype or x.dtype
     return jnp.dot(x, w.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(out_dtype)
@@ -135,6 +140,18 @@ def _dense_woq(x, w: WOQWeight, out_dtype=None):
         acc = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
         y = acc * w.scale
     return y.astype(out_dtype)
+
+
+def _dense_fp8(x, w: FP8Weight, out_dtype=None):
+    """FP8 weight matmul: arithmetic e4m3 decode (ops/fp8.py) feeding the
+    dot, per-channel scale as the epilogue (scale constant along K, exact).
+    The reference never shipped a runnable FP8 GEMM (fp8_gemm plugin absent;
+    layer.py FP8 classes are stubs)."""
+    out_dtype = out_dtype or x.dtype
+    from .fp8 import fp8_decode
+    wf = fp8_decode(w.qweight, x.dtype)
+    acc = jnp.dot(x, wf, preferred_element_type=jnp.float32)
+    return (acc * w.scale).astype(out_dtype)
 
 
 def _lead_specs(x, mesh):

@@ -112,9 +112,10 @@ def capture_activation_ranges(hf_model, tokenizer, texts: Iterable[str],
     }
 
 
-def kv_scales_from_ranges(ranges) -> np.ndarray:
-    """Per-layer INT8 KV-cache scales: amax/127 (reference per-tensor mode)."""
-    return (np.maximum(ranges["kv_absmax"], 1e-8) / 127.0).astype(np.float32)
+def kv_scales_from_ranges(ranges, qmax: float = 127.0) -> np.ndarray:
+    """Per-layer quantized-KV-cache scales: amax/qmax (reference per-tensor
+    mode). qmax=127 for int8-KV, 448 for fp8(e4m3)-KV."""
+    return (np.maximum(ranges["kv_absmax"], 1e-8) / qmax).astype(np.float32)
 
 
 def act_ranges_for_smoothquant(ranges) -> Dict[str, np.ndarray]:

@@ -147,6 +147,10 @@ def evaluate_quant_mode(cfg_fp: ModelConfig, params_fp, mode_name: str,
                               act_ranges=act_ranges)
     cfg_q = dataclasses.replace(cfg_fp, quant_mode=quant_mode)
     q_kv = kv_scales if quant_mode.has_int8_kv_cache() else None
+    if quant_mode.has_fp8_kv_cache() and kv_scales is not None:
+        # build_golden_setup's scales are int8 (amax/127); fp8-e4m3 saturates
+        # at 448, so rescale to amax/448 (kv_scales_from_ranges qmax=448).
+        q_kv = np.asarray(kv_scales) * (127.0 / 448.0)
     test_pre, test_dec = teacher_forced_logits(
         cfg_q, qparams, prompt_ids, cont, kv_scales=q_kv)
 

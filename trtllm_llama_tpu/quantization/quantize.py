@@ -24,7 +24,8 @@ from typing import Mapping, Optional
 import jax.numpy as jnp
 
 from .mode import QuantMode
-from .tensors import quantize_smoothquant_weight, quantize_weight_only
+from .tensors import (quantize_fp8_weight, quantize_smoothquant_weight,
+                      quantize_weight_only)
 
 _ATTN_MLP_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
@@ -65,6 +66,15 @@ def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
 
     def make_weight(k, shape):
         fan_in = shape[-2]
+        if quant_mode.has_fp8_qdq():
+            from .tensors import FP8Weight
+            k1, k2 = jax.random.split(k)
+            mag = jax.random.randint(k1, shape, 0, 0x7F, dtype=jnp.int32)
+            sign = jax.random.randint(k2, shape, 0, 2, dtype=jnp.int32) << 7
+            codes = (mag | sign).astype(jnp.uint8)   # never the NaN code
+            scale = jnp.full(shape[:-2] + (shape[-1],),
+                             (fan_in ** -0.5) / 448.0, jnp.float32)
+            return FP8Weight(codes, scale)
         if quant_mode.is_weight_only():
             w_bits = 4 if quant_mode.has_int4_weights() else 8
             gs = group_size if quant_mode.has_per_group_scaling() else 0
@@ -125,6 +135,9 @@ def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
             new_layers[k] = quantize_smoothquant_weight(
                 params["layers"][k], amax,
                 per_channel=per_channel, per_token=per_token)
+    elif quant_mode.has_fp8_qdq():
+        for k in _matmul_keys(params["layers"]):
+            new_layers[k] = quantize_fp8_weight(params["layers"][k])
     elif quant_mode.is_weight_only():
         w_bits = 4 if quant_mode.has_int4_weights() else 8
         gs = group_size if quant_mode.has_per_group_scaling() else 0
@@ -132,8 +145,11 @@ def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
             new_layers[k] = quantize_weight_only(params["layers"][k], w_bits, gs)
     out = dict(params)
     out["layers"] = new_layers
-    if quantize_lm_head and (quant_mode.is_weight_only()
-                             or quant_mode.has_act_and_weight_quant()):
-        w_bits = 4 if quant_mode.has_int4_weights() else 8
-        out["lm_head"] = quantize_weight_only(params["lm_head"], w_bits, 0)
+    if quantize_lm_head:
+        if quant_mode.has_fp8_qdq():
+            out["lm_head"] = quantize_fp8_weight(params["lm_head"])
+        elif (quant_mode.is_weight_only()
+              or quant_mode.has_act_and_weight_quant()):
+            w_bits = 4 if quant_mode.has_int4_weights() else 8
+            out["lm_head"] = quantize_weight_only(params["lm_head"], w_bits, 0)
     return out

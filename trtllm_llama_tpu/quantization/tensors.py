@@ -225,6 +225,45 @@ def quantize_smoothquant_weight(w, act_amax, y_amax=None,
 
 
 # ---------------------------------------------------------------------------
+# FP8 (e4m3fn) weights
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["qweight", "scale"], meta_fields=[])
+@dataclasses.dataclass
+class FP8Weight:
+    """FP8-quantized linear weight (QuantMode.FP8_QDQ — the path the
+    reference only stubbed, quantization/layer.py:442-593).
+
+    qweight: uint8 [..., K, N] e4m3fn bit-codes (ops/fp8.py codec — native
+             fp8 dtypes hang this backend's remote compile)
+    scale:   f32 [..., N] per-channel dequant scale (amax -> 448)
+    """
+
+    qweight: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def k_dim(self) -> int:
+        return self.qweight.shape[-2]
+
+    def dequantize(self, dtype=jnp.float32):
+        from ..ops.fp8 import fp8_decode
+        w = fp8_decode(self.qweight) * self.scale[..., None, :]
+        return w.astype(dtype)
+
+
+def quantize_fp8_weight(w) -> FP8Weight:
+    """Quantize [..., K, N] weights to e4m3 with per-channel scales."""
+    from ..ops.fp8 import FP8_MAX, fp8_encode
+    w = jnp.asarray(w).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2)                          # [..., N]
+    scale = jnp.maximum(amax, 1e-8) / FP8_MAX
+    q = fp8_encode(w / scale[..., None, :])
+    return FP8Weight(qweight=q, scale=scale.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # Activation quantization (runtime side)
 # ---------------------------------------------------------------------------
 
