@@ -110,3 +110,55 @@ def test_gpt_beam_and_quantized(hf_gpt):
     qout = qsess.generate(ids, max_new_tokens=5,
                           sampling=SamplingConfig(end_id=-1))
     assert qout.output_ids.shape == (1, 5)
+
+
+def test_prompt_tuning_matches_real_token_run(hf_gpt):
+    """Virtual ids whose prompt-table rows ARE real vocab embeddings must
+    generate bit-identically to the real-token prompt (the reference's
+    PromptTuningEmbedding contract, layers/embedding.py:38-81)."""
+    _, cfg, params = hf_gpt
+    rng = np.random.default_rng(4)
+    real = rng.integers(3, cfg.vocab_size, (2, 8)).astype(np.int32)
+
+    # two tasks, 4 virtual tokens each; task t's table block holds the
+    # embeddings of real[t, :4], so replacing those ids with virtual ids
+    # must be a no-op on the computation
+    tvs = 4
+    table = np.concatenate([np.asarray(params["embed"])[real[t, :tvs]]
+                            for t in range(2)], axis=0)
+    virt = real.copy()
+    virt[:, :tvs] = cfg.vocab_size + np.arange(tvs)
+    pt = gpt.PromptTuning(jnp.asarray(table),
+                          jnp.asarray([0, 1], jnp.int32),
+                          jnp.int32(tvs))
+
+    sess = GenerationSession(cfg, params,
+                             EngineConfig(max_input_len=16, max_seq_len=48),
+                             model=gpt)
+    scfg = SamplingConfig(end_id=-1)
+    out_real = sess.generate(real, max_new_tokens=6, sampling=scfg)
+    out_virt = sess.generate(virt, max_new_tokens=6, sampling=scfg, prompt=pt)
+    np.testing.assert_array_equal(out_real.output_ids, out_virt.output_ids)
+
+
+def test_prompt_tuning_table_changes_output(hf_gpt):
+    """A different prompt table must actually steer the model (guards
+    against the virtual path silently reading the normal table)."""
+    _, cfg, params = hf_gpt
+    rng = np.random.default_rng(5)
+    ids = rng.integers(3, cfg.vocab_size, (1, 8)).astype(np.int32)
+    ids[:, :4] = cfg.vocab_size + np.arange(4)
+    caches = gpt.init_caches(cfg, 1, 32)
+    lens = jnp.full((1,), 8, jnp.int32)
+
+    def run(scale):
+        pt = gpt.PromptTuning(
+            jnp.asarray(rng.standard_normal((4, cfg.hidden_size)) * scale,
+                        jnp.float32),
+            jnp.zeros((1,), jnp.int32), jnp.int32(4))
+        logits, _ = gpt.forward_prefill(params, cfg, jnp.asarray(ids), lens,
+                                        gpt.init_caches(cfg, 1, 32),
+                                        prompt=pt)
+        return np.asarray(logits)
+
+    assert np.abs(run(0.02) - run(1.0)).max() > 1e-3

@@ -10,6 +10,8 @@ quantization containers — only the block wiring differs.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -18,12 +20,25 @@ from ..ops.attention import (
     KVCache, fused_decode_attention_at, prefill_attention,
     write_kv_prefill_at,
 )
-from ..ops.linear import dense, embedding_lookup
+from ..ops.linear import dense, embedding_lookup, prompt_tuning_lookup
 from ..ops.norm import layer_norm
 from ..utils.debugging import debug_output
 from .llama import init_caches  # same stacked cache layout
 
-__all__ = ["init_params", "init_caches", "forward_prefill", "forward_decode"]
+__all__ = ["init_params", "init_caches", "forward_prefill", "forward_decode",
+           "PromptTuning"]
+
+
+class PromptTuning(NamedTuple):
+    """Prompt-tuning inputs (reference GPTLMHeadModel use_prompt_tuning,
+    models/gpt/model.py:39-67): virtual tokens with ids >= vocab_size
+    select rows of the per-task prompt table at the embedding stage.
+    Only the context phase sees virtual ids — sampled tokens are always
+    real vocabulary — so decode needs no plumbing."""
+
+    table: jnp.ndarray          # [num_tasks * task_vocab_size, D]
+    tasks: jnp.ndarray          # [B] task id per sequence
+    task_vocab_size: jnp.ndarray  # scalar
 
 
 def init_params(cfg: ModelConfig, key, dtype=None):
@@ -105,11 +120,17 @@ def _run_layers(cfg, params, x, caches, seq_lens, decode):
 
 
 def forward_prefill(params, cfg: ModelConfig, input_ids, seq_lens,
-                    caches: KVCache, return_all_logits: bool = False):
+                    caches: KVCache, return_all_logits: bool = False,
+                    prompt: Optional[PromptTuning] = None):
     b, s = input_ids.shape
     pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-    x = (embedding_lookup(params["embed"], input_ids, cfg.jnp_dtype)
-         + embedding_lookup(params["pos_embed"], pos, cfg.jnp_dtype))
+    if prompt is not None:
+        tok = prompt_tuning_lookup(params["embed"], prompt.table, input_ids,
+                                   prompt.tasks, prompt.task_vocab_size,
+                                   cfg.vocab_size, cfg.jnp_dtype)
+    else:
+        tok = embedding_lookup(params["embed"], input_ids, cfg.jnp_dtype)
+    x = tok + embedding_lookup(params["pos_embed"], pos, cfg.jnp_dtype)
     x, caches = _run_layers(cfg, params, x, caches, seq_lens, False)
     x = layer_norm(x, params["final_ln_w"], params["final_ln_b"])
     if return_all_logits:

@@ -264,3 +264,23 @@ def embedding_lookup(table, ids, out_dtype=None):
     """Embedding gather (reference lookupPlugin -> sharded jnp.take)."""
     out = jnp.take(table, ids, axis=0)
     return out.astype(out_dtype) if out_dtype else out
+
+
+def prompt_tuning_lookup(table, prompt_table, ids, tasks, task_vocab_size,
+                         vocab_size, out_dtype=None):
+    """Prompt-tuning embedding (reference PromptTuningEmbedding.forward,
+    layers/embedding.py:38-81): ids < vocab_size gather from the normal
+    table; ids >= vocab_size are virtual tokens indexing the per-task
+    block of the concatenated prompt table.
+
+    table:        [V, D] vocab embeddings
+    prompt_table: [num_tasks * task_vocab_size, D] virtual-token embeddings
+    ids:          [B, S] token ids, virtual ids live in [V, V + tvs)
+    tasks:        [B] task index per sequence
+    """
+    is_prompt = ids >= vocab_size
+    normal = embedding_lookup(table, jnp.where(is_prompt, 0, ids), out_dtype)
+    vids = (jnp.where(is_prompt, ids - vocab_size, 0)
+            + (tasks * task_vocab_size)[:, None])
+    virtual = embedding_lookup(prompt_table, vids, out_dtype)
+    return jnp.where(is_prompt[..., None], virtual, normal)

@@ -112,7 +112,8 @@ class GenerationSession:
 
     # ------------------------------------------------------------------
     def _generate_fn(self, bucket: int, max_len: int, max_new: int,
-                     scfg: SamplingConfig, use_penalties: bool):
+                     scfg: SamplingConfig, use_penalties: bool,
+                     use_prompt: bool = False):
         """Build the single jitted end-to-end generate function."""
         cfg = self.cfg
 
@@ -129,10 +130,17 @@ class GenerationSession:
                 input_ids, jnp.clip(idx, 0, s - 1).astype(jnp.int32), axis=1)
             return jnp.where(valid, gathered, scfg.pad_id).astype(jnp.int32)
 
-        def fn(params, input_ids, seq_lens, caches, key):
+        def fn(params, input_ids, seq_lens, caches, key, *extra):
             b = input_ids.shape[0]
-            logits, caches = model.forward_prefill(
-                params, cfg, input_ids, seq_lens, caches)
+            if use_prompt:
+                # prompt-tuning table/tasks ride as traced args (GPT family;
+                # decode never sees virtual ids — sampled tokens are vocab)
+                logits, caches = model.forward_prefill(
+                    params, cfg, input_ids, seq_lens, caches,
+                    prompt=extra[0])
+            else:
+                logits, caches = model.forward_prefill(
+                    params, cfg, input_ids, seq_lens, caches)
             if use_penalties:
                 counts = init_token_counts(input_ids, seq_lens, cfg.vocab_size)
             else:
@@ -195,21 +203,26 @@ class GenerationSession:
         donate = (3,)  # caches donated for in-place KV update
         return jax.jit(fn, donate_argnums=donate)
 
-    def _get_fn(self, bucket, max_len, max_new, scfg):
+    def _get_fn(self, bucket, max_len, max_new, scfg, use_prompt=False):
         use_penalties = (scfg.repetition_penalty != 1.0
                          or scfg.presence_penalty != 0.0
                          or scfg.frequency_penalty != 0.0)
-        key = (bucket, max_len, max_new, scfg, use_penalties)
+        key = (bucket, max_len, max_new, scfg, use_penalties, use_prompt)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._generate_fn(
-                bucket, max_len, max_new, scfg, use_penalties)
+                bucket, max_len, max_new, scfg, use_penalties, use_prompt)
         return self._fn_cache[key]
 
     # ------------------------------------------------------------------
     def generate(self, input_ids, seq_lens=None,
                  sampling: Optional[SamplingConfig] = None,
-                 max_new_tokens: int = 32, seed: int = 0) -> GenerationOutput:
-        """input_ids: [B, S] numpy (right-padded with pad_id) or list of lists."""
+                 max_new_tokens: int = 32, seed: int = 0,
+                 prompt=None) -> GenerationOutput:
+        """input_ids: [B, S] numpy (right-padded with pad_id) or list of lists.
+
+        prompt: optional models.gpt.PromptTuning — virtual-token ids
+        (>= vocab_size) in input_ids select rows of prompt.table (the
+        reference's prompt_embedding_table/tasks inputs)."""
         scfg = sampling or SamplingConfig()
         if isinstance(input_ids, (list, tuple)):
             seq_lens = np.array([len(x) for x in input_ids], np.int32)
@@ -233,10 +246,12 @@ class GenerationSession:
                                        max_new_tokens, max_len)
 
         caches = self.make_caches(b, max_len)
-        fn = self._get_fn(bucket, max_len, max_new_tokens, scfg)
+        fn = self._get_fn(bucket, max_len, max_new_tokens, scfg,
+                          use_prompt=prompt is not None)
+        extra = (prompt,) if prompt is not None else ()
         out, lengths, _ = fn(self.params, jnp.asarray(padded),
                              jnp.asarray(seq_lens, jnp.int32), caches,
-                             jax.random.PRNGKey(seed))
+                             jax.random.PRNGKey(seed), *extra)
         return GenerationOutput(np.asarray(out), np.asarray(lengths))
 
     def _generate_beam(self, padded, seq_lens, scfg: SamplingConfig,
