@@ -24,13 +24,15 @@ import json
 import time
 
 import numpy as np
+import jax
 
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--engine_dir", default=None)
     p.add_argument("--synthetic", default=None,
-                   choices=["fp16", "int8", "int4", "int8kv", "sq"],
+                   choices=["fp16", "int8", "int4", "int8kv", "sq",
+                            "fp8", "fp8kv"],
                    help="random-weight LLaMA-7B in the given mode")
     p.add_argument("--batch_sizes", default="1")
     p.add_argument("--input_lens", default="8")
@@ -74,22 +76,35 @@ def main():
             for _ in range(args.warm_up):
                 sess.generate(ids, sampling=scfg,
                               max_new_tokens=args.output_len)
-            times = []
+                sess.generate(ids, sampling=scfg, max_new_tokens=1)
+            times, ft_times = [], []
             for _ in range(args.num_runs):
+                t0 = time.perf_counter()
+                sess.generate(ids, sampling=scfg, max_new_tokens=1)
+                ft_times.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 sess.generate(ids, sampling=scfg,
                               max_new_tokens=args.output_len)
                 times.append(time.perf_counter() - t0)
             times.sort()
+            ft_times.sort()
             lat = times[len(times) // 2]
-            results.append({
+            row = {
                 "batch_size": bs, "input_len": il,
                 "output_len": args.output_len,
                 "latency_s": round(lat, 4),
                 "p99_s": round(times[-1], 4),
+                "first_token_s": round(ft_times[len(ft_times) // 2], 4),
                 "tokens_per_s": round(bs * args.output_len / lat, 2),
-            })
-            print(json.dumps(results[-1]))
+            }
+            # peak device memory (reference mem_monitor.py peak-mem column);
+            # TPU/GPU backends expose allocator stats, CPU does not
+            stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+            if stats and "peak_bytes_in_use" in stats:
+                row["peak_mem_gb"] = round(
+                    stats["peak_bytes_in_use"] / 2**30, 3)
+            results.append(row)
+            print(json.dumps(row))
     return results
 
 
