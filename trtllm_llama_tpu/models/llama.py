@@ -103,6 +103,31 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(*x.shape[:-1], n_heads, head_dim)
 
 
+def fuse_qkv_params(params: Params) -> Params:
+    """Fuse wq/wk/wv into one stacked wqkv projection (exact rewrite).
+
+    One 4096->12288 matmul reaches HBM peak where three 4096->4096 launches
+    run at ~46% of it (v5e, decode shapes) — the same motivation as the
+    reference's merged query_key_value weights (examples/llama_quant
+    convert.py qkv handling). Applied by the runtimes at session init on
+    single-device runs; under TP the separate per-projection column shards
+    keep head boundaries aligned, so fusion is skipped there.
+
+    Returns new params (input untouched); no-op when already fused or when
+    the containers can't be fused (mixed/static-SQ mismatch).
+    """
+    from ..quantization.tensors import concat_columns
+    lw = params["layers"]
+    if "wqkv" in lw or not all(k in lw for k in ("wq", "wk", "wv")):
+        return params
+    fused = concat_columns([lw["wq"], lw["wk"], lw["wv"]])
+    if fused is None:
+        return params
+    new_lw = {k: v for k, v in lw.items() if k not in ("wq", "wk", "wv")}
+    new_lw["wqkv"] = fused
+    return {**params, "layers": new_lw}
+
+
 def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
                 seq_lens, decode: bool, packed: PackedMeta = None):
     """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode).
@@ -112,23 +137,38 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     stacked KV cache is updated in place at this layer.
     """
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
-    if _sq_per_token(lw["wq"]):
+    fused = "wqkv" in lw
+    nq_d = cfg.num_heads * cfg.head_dim
+    nkv_d = cfg.num_kv_heads * cfg.head_dim
+    if _sq_per_token(lw["wqkv"] if fused else lw["wq"]):
         # fused RMSNorm -> int8 (+ per-token scales): quantize ONCE and fan
         # out to the qkv group — the reference's SmoothQuantRmsNorm feeding
         # smoothQuantGemmPlugin (layernormQuantizationPlugin.cpp:124-170)
         h_q, h_s = rms_norm_quant(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
         proj = lambda w: dense_prequant(h_q, h_s, w, cfg.jnp_dtype, layer,
                                         part="col")
-        q = _split_heads(proj(lw["wq"]), cfg.num_heads, cfg.head_dim)
-        k = _split_heads(proj(lw["wk"]), cfg.num_kv_heads, cfg.head_dim)
-        v = _split_heads(proj(lw["wv"]), cfg.num_kv_heads, cfg.head_dim)
+        if fused:
+            qkv = proj(lw["wqkv"])
+        else:
+            q = _split_heads(proj(lw["wq"]), cfg.num_heads, cfg.head_dim)
+            k = _split_heads(proj(lw["wk"]), cfg.num_kv_heads, cfg.head_dim)
+            v = _split_heads(proj(lw["wv"]), cfg.num_kv_heads, cfg.head_dim)
     else:
         h = rms_norm(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
-        q = _split_heads(dense(h, lw["wq"], layer=layer, part="col"),
-                         cfg.num_heads, cfg.head_dim)
-        k = _split_heads(dense(h, lw["wk"], layer=layer, part="col"),
+        if fused:
+            qkv = dense(h, lw["wqkv"], layer=layer, part="col")
+        else:
+            q = _split_heads(dense(h, lw["wq"], layer=layer, part="col"),
+                             cfg.num_heads, cfg.head_dim)
+            k = _split_heads(dense(h, lw["wk"], layer=layer, part="col"),
+                             cfg.num_kv_heads, cfg.head_dim)
+            v = _split_heads(dense(h, lw["wv"], layer=layer, part="col"),
+                             cfg.num_kv_heads, cfg.head_dim)
+    if fused:
+        q = _split_heads(qkv[..., :nq_d], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(qkv[..., nq_d:nq_d + nkv_d],
                          cfg.num_kv_heads, cfg.head_dim)
-        v = _split_heads(dense(h, lw["wv"], layer=layer, part="col"),
+        v = _split_heads(qkv[..., nq_d + nkv_d:],
                          cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)

@@ -79,6 +79,10 @@ class ServingEngine:
         self.cfg = cfg
         self.model = model if model is not None else llama
         self.params = params
+        if not os.environ.get("TLLM_NO_FUSE_QKV"):
+            fuse = getattr(self.model, "fuse_qkv_params", None)
+            if fuse is not None:   # single-host serving: same fusion as
+                self.params = fuse(self.params)   # GenerationSession
         self.engine_cfg = engine_cfg
         self.scfg = sampling or SamplingConfig()
         self.decode_chunk = decode_chunk

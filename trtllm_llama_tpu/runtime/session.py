@@ -72,6 +72,14 @@ class GenerationSession:
         self.params = params
         if mesh is not None:
             self.params = self._shard_params(params, mesh)
+        elif not os.environ.get("TLLM_NO_FUSE_QKV"):
+            # single-device: fuse q/k/v into one matmul (HBM-peak launch vs
+            # three half-rate ones; models/llama.fuse_qkv_params). Under TP
+            # the per-projection column shards stay separate so head
+            # boundaries align with the tp axis.
+            fuse = getattr(self.model, "fuse_qkv_params", None)
+            if fuse is not None:
+                self.params = fuse(self.params)
         self._use_kernels = (jax.default_backend() != "cpu"
                              or bool(os.environ.get("TLLM_SHARDED_KERNELS")))
         if self._use_kernels and jax.default_backend() != "cpu":
