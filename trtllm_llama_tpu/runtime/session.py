@@ -138,8 +138,20 @@ class GenerationSession:
                 input_ids, jnp.clip(idx, 0, s - 1).astype(jnp.int32), axis=1)
             return jnp.where(valid, gathered, scfg.pad_id).astype(jnp.int32)
 
-        def fn(params, input_ids, seq_lens, caches, key, *extra):
+        inline_caches = self.mesh is None
+        kv_scales = self.kv_scales
+        max_len_cache = max_len
+
+        def fn(params, input_ids, seq_lens, *rest):
             b = input_ids.shape[0]
+            if inline_caches:
+                # allocate the KV cache inside the jitted program: saves one
+                # host->device dispatch per request (~23 ms through the
+                # remote tunnel) and lets XLA own the buffer outright
+                caches = model.init_caches(cfg, b, max_len_cache, kv_scales)
+                key, extra = rest[0], rest[1:]
+            else:
+                caches, key, extra = rest[0], rest[1], rest[2:]
             if use_prompt:
                 # prompt-tuning table/tasks ride as traced args (GPT family;
                 # decode never sees virtual ids — sampled tokens are vocab)
@@ -206,10 +218,13 @@ class GenerationSession:
                      lengths, key, counts, tail)
             state = jax.lax.while_loop(cond, body, state)
             (_, _, _, caches, _, out, lengths, _, _, _) = state
+            if inline_caches:
+                return out, lengths
             return out, lengths, caches
 
-        donate = (3,)  # caches donated for in-place KV update
-        return jax.jit(fn, donate_argnums=donate)
+        if inline_caches:
+            return jax.jit(fn)
+        return jax.jit(fn, donate_argnums=(3,))  # caches: in-place KV update
 
     def _get_fn(self, bucket, max_len, max_new, scfg, use_prompt=False):
         use_penalties = (scfg.repetition_penalty != 1.0
@@ -253,13 +268,18 @@ class GenerationSession:
             return self._generate_beam(padded, seq_lens, scfg,
                                        max_new_tokens, max_len)
 
-        caches = self.make_caches(b, max_len)
         fn = self._get_fn(bucket, max_len, max_new_tokens, scfg,
                           use_prompt=prompt is not None)
         extra = (prompt,) if prompt is not None else ()
-        out, lengths, _ = fn(self.params, jnp.asarray(padded),
-                             jnp.asarray(seq_lens, jnp.int32), caches,
-                             jax.random.PRNGKey(seed), *extra)
+        if self.mesh is None:
+            out, lengths = fn(self.params, jnp.asarray(padded),
+                              jnp.asarray(seq_lens, jnp.int32),
+                              jax.random.PRNGKey(seed), *extra)
+        else:
+            caches = self.make_caches(b, max_len)
+            out, lengths, _ = fn(self.params, jnp.asarray(padded),
+                                 jnp.asarray(seq_lens, jnp.int32), caches,
+                                 jax.random.PRNGKey(seed), *extra)
         return GenerationOutput(np.asarray(out), np.asarray(lengths))
 
     def _generate_beam(self, padded, seq_lens, scfg: SamplingConfig,
