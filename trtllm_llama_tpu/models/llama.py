@@ -128,6 +128,25 @@ def fuse_qkv_params(params: Params) -> Params:
     return {**params, "layers": new_lw}
 
 
+def fuse_gate_up_params(params: Params) -> Params:
+    """Fuse w_gate/w_up into one stacked w_gate_up projection (exact).
+
+    Same launch-count/HBM argument as fuse_qkv_params; additionally LLaMA's
+    intermediate 11008 is not divisible by 512, capping the WOQ kernel at
+    256-column panels — the fused 22016 output restores 512-column tiling.
+    """
+    from ..quantization.tensors import concat_columns
+    lw = params["layers"]
+    if "w_gate_up" in lw or not all(k in lw for k in ("w_gate", "w_up")):
+        return params
+    fused = concat_columns([lw["w_gate"], lw["w_up"]])
+    if fused is None:
+        return params
+    new_lw = {k: v for k, v in lw.items() if k not in ("w_gate", "w_up")}
+    new_lw["w_gate_up"] = fused
+    return {**params, "layers": new_lw}
+
+
 def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
                 seq_lens, decode: bool, packed: PackedMeta = None):
     """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode).
@@ -203,17 +222,28 @@ def _sq_per_token(w) -> bool:
 
 def _mlp_block(cfg: ModelConfig, lw, layer, x):
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
-    if _sq_per_token(lw["w_gate"]):
+    fused = "w_gate_up" in lw
+    f = cfg.intermediate_size
+    if _sq_per_token(lw["w_gate_up"] if fused else lw["w_gate"]):
         h_q, h_s = rms_norm_quant(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
-        g = dense_prequant(h_q, h_s, lw["w_gate"], cfg.jnp_dtype, layer,
-                           part="col")
-        u = dense_prequant(h_q, h_s, lw["w_up"], cfg.jnp_dtype, layer,
-                           part="col")
+        if fused:
+            gu = dense_prequant(h_q, h_s, lw["w_gate_up"], cfg.jnp_dtype,
+                                layer, part="col")
+            g, u = gu[..., :f], gu[..., f:]
+        else:
+            g = dense_prequant(h_q, h_s, lw["w_gate"], cfg.jnp_dtype, layer,
+                               part="col")
+            u = dense_prequant(h_q, h_s, lw["w_up"], cfg.jnp_dtype, layer,
+                               part="col")
     else:
         h = rms_norm(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
         # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
-        g = dense(h, lw["w_gate"], layer=layer, part="col")
-        u = dense(h, lw["w_up"], layer=layer, part="col")
+        if fused:
+            gu = dense(h, lw["w_gate_up"], layer=layer, part="col")
+            g, u = gu[..., :f], gu[..., f:]
+        else:
+            g = dense(h, lw["w_gate"], layer=layer, part="col")
+            u = dense(h, lw["w_up"], layer=layer, part="col")
     out = x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                     lw["w_down"], layer=layer, part="row")
     debug_output("decoder_layer_output", out)

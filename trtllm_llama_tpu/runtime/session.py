@@ -80,6 +80,12 @@ class GenerationSession:
             fuse = getattr(self.model, "fuse_qkv_params", None)
             if fuse is not None:
                 self.params = fuse(self.params)
+            # gate/up fusion is opt-in: measured neutral for int8/SQ and a
+            # 2.4% regression for grouped int4 at 7B (the fused 22016-col
+            # int4 kernel runs slower than 2x11008 despite one less launch)
+            fuse_gu = getattr(self.model, "fuse_gate_up_params", None)
+            if fuse_gu is not None and os.environ.get("TLLM_FUSE_GU"):
+                self.params = fuse_gu(self.params)
         self._use_kernels = (jax.default_backend() != "cpu"
                              or bool(os.environ.get("TLLM_SHARDED_KERNELS")))
         if self._use_kernels and jax.default_backend() != "cpu":
