@@ -136,8 +136,13 @@ def serving_bench(config_name: str):
                         block_size=int(os.environ.get("BENCH_BLOCK", "64")),
                         packed_prefill=packed)
     rng = np.random.default_rng(0)
-    # warm the compile path with one request
-    rid = eng.submit(rng.integers(3, cfg.vocab_size, (in_len,)).tolist(), out_len)
+    # warm the compile paths the measured run will hit: a single request
+    # (nb=1 prefill) and a full-slot wave (nb=slots prefill + decode chunk)
+    eng.submit(rng.integers(3, cfg.vocab_size, (in_len,)).tolist(), out_len)
+    eng.run_to_completion()
+    for _ in range(slots):
+        eng.submit(rng.integers(3, cfg.vocab_size, (in_len,)).tolist(),
+                   eng.decode_chunk)
     eng.run_to_completion()
 
     reqs = [rng.integers(3, cfg.vocab_size, (in_len,)).tolist()

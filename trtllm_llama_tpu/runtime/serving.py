@@ -289,21 +289,7 @@ class ServingEngine:
         if self.per_request and counts is not None:
             self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
                 counts)
-        for i, req in enumerate(reqs):
-            token = int(tokens[i])
-            self.slot_lens = self.slot_lens.at[req.slot].set(
-                len(req.input_ids))
-            self.slot_tokens = self.slot_tokens.at[req.slot].set(token)
-            self.slot_active = self.slot_active.at[req.slot].set(True)
-            self.slot_budget = self.slot_budget.at[req.slot].set(
-                req.max_new_tokens)
-            self.slot_gen = self.slot_gen.at[req.slot].set(1)
-            if self.scheduler.record_token(req.request_id, token,
-                                           self.scfg.end_id):
-                self._release_slot(req.slot)
-                self._req_sampling.pop(req.request_id, None)
-                finished.append(FinishedRequest(
-                    req.request_id, req.output_ids, req.finished_reason))
+        finished.extend(self._register_prefilled(reqs, tokens))
         return finished
 
     def _decode_fn(self, n_steps: int):
@@ -348,6 +334,31 @@ class ServingEngine:
         if key not in self._fn_cache:
             self._fn_cache[key] = builder(*args)
         return self._fn_cache[key]
+
+    def _register_prefilled(self, reqs: List[Request], tokens: np.ndarray
+                            ) -> List[FinishedRequest]:
+        """Activate freshly prefilled slots with BATCHED device updates (one
+        scatter per state array instead of a 5-dispatch chain per request —
+        dispatch latency through the tunnel dominated admission)."""
+        import numpy as _np
+        slots = jnp.asarray(_np.array([r.slot for r in reqs], _np.int32))
+        self.slot_lens = self.slot_lens.at[slots].set(jnp.asarray(
+            _np.array([len(r.input_ids) for r in reqs], _np.int32)))
+        self.slot_tokens = self.slot_tokens.at[slots].set(
+            jnp.asarray(tokens[:len(reqs)].astype(_np.int32)))
+        self.slot_active = self.slot_active.at[slots].set(True)
+        self.slot_budget = self.slot_budget.at[slots].set(jnp.asarray(
+            _np.array([r.max_new_tokens for r in reqs], _np.int32)))
+        self.slot_gen = self.slot_gen.at[slots].set(1)
+        finished = []
+        for i, req in enumerate(reqs):
+            if self.scheduler.record_token(req.request_id, int(tokens[i]),
+                                           self.scfg.end_id):
+                self._release_slot(req.slot)
+                self._req_sampling.pop(req.request_id, None)
+                finished.append(FinishedRequest(
+                    req.request_id, req.output_ids, req.finished_reason))
+        return finished
 
     def _release_slot(self, slot: int):
         self.slot_active = self.slot_active.at[slot].set(False)
@@ -437,21 +448,7 @@ class ServingEngine:
         if self.per_request and counts is not None:
             self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
                 counts)
-        for i, req in enumerate(reqs):
-            token = int(tokens[i])
-            self.slot_lens = self.slot_lens.at[req.slot].set(
-                len(req.input_ids))
-            self.slot_tokens = self.slot_tokens.at[req.slot].set(token)
-            self.slot_active = self.slot_active.at[req.slot].set(True)
-            self.slot_budget = self.slot_budget.at[req.slot].set(
-                req.max_new_tokens)
-            self.slot_gen = self.slot_gen.at[req.slot].set(1)
-            if self.scheduler.record_token(req.request_id, token,
-                                           self.scfg.end_id):
-                self._release_slot(req.slot)
-                self._req_sampling.pop(req.request_id, None)
-                finished.append(FinishedRequest(
-                    req.request_id, req.output_ids, req.finished_reason))
+        finished.extend(self._register_prefilled(reqs, tokens))
         if rest:
             finished.extend(self._admit_group(rest, bucket))
         return finished
@@ -475,7 +472,10 @@ class ServingEngine:
             for bucket, group in sorted(by_bucket.items()):
                 finished.extend(self._admit_group(group, bucket))
 
-        if not bool(self.slot_active.any()):
+        # host-side activity check: the scheduler already knows which
+        # requests are in flight — asking the device (`slot_active.any()`)
+        # costs a blocking ~23 ms d2h roundtrip through the tunnel per step
+        if not self.scheduler.active_requests():
             return finished
 
         # chunk = enough steps for the request with the LARGEST remaining
