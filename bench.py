@@ -131,7 +131,8 @@ def serving_bench(config_name: str):
         KERNELS["paged_attn_mode"] = pmode
     packed = bool(int(os.environ.get("BENCH_PACKED", "0")))
     eng = ServingEngine(cfg, params, ecfg,
-                        sampling=SamplingConfig(end_id=-1), decode_chunk=16,
+                        sampling=SamplingConfig(end_id=-1),
+                        decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")),
                         paged=paged,
                         block_size=int(os.environ.get("BENCH_BLOCK", "64")),
                         packed_prefill=packed)

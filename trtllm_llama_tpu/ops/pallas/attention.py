@@ -288,7 +288,7 @@ def _prefill_kernel(lens_ref, alibi_ref, q_ref, k_ref, v_ref, o_ref,
     o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
 
 
-def _packed_prefill_kernel(seg_ref, q_ref, k_ref, v_ref, o_ref,
+def _packed_prefill_kernel(q_ref, k_ref, v_ref, segr_ref, segc_ref, o_ref,
                            *, sm_scale, bq, t):
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)                    # [bq, D]
@@ -299,8 +299,10 @@ def _packed_prefill_kernel(seg_ref, q_ref, k_ref, v_ref, o_ref,
         preferred_element_type=jnp.float32) * sm_scale   # [bq, T]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0) + iq * bq
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
-    seg_rows = seg_ref[pl.ds(iq * bq, bq)].reshape(bq, 1)   # [bq, 1] SMEM
-    seg_cols = seg_ref[...].reshape(1, t)
+    # segment ids arrive as two VMEM views ([bq,1] row block / [1,t] full):
+    # Mosaic cannot vector-load from SMEM, so scalar-prefetch is out
+    seg_rows = segr_ref[...]                            # [bq, 1]
+    seg_cols = segc_ref[...]                            # [1, t]
     mask = (cols <= rows) & (seg_rows == seg_cols)
     scores = jnp.where(mask, scores, NEG_INF)
     m = jnp.max(scores, axis=1, keepdims=True)
@@ -335,19 +337,26 @@ def packed_prefill_attention_kernel(q, k, v, seg_ids, sm_scale=None,
     qt = jnp.swapaxes(q, 0, 1)                  # [Hq, T, D]
     kt = jnp.swapaxes(k, 0, 1)                  # [Hkv, T, D]
     vt = jnp.swapaxes(v, 0, 1)
+    seg = jnp.asarray(seg_ids, jnp.int32)
+    seg_rows = seg.reshape(t, 1)                # column vector: [bq,1] blocks
+    seg_cols = seg.reshape(1, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                  # seg_ids
+        num_scalar_prefetch=0,
         grid=(hq, t // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, j, seg: (h, j, 0),
+            pl.BlockSpec((1, bq, d), lambda h, j: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda h, j, seg: (h // r, 0, 0),
+            pl.BlockSpec((1, t, d), lambda h, j: (h // r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda h, j, seg: (h // r, 0, 0),
+            pl.BlockSpec((1, t, d), lambda h, j: (h // r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda h, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda h, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda h, j, seg: (h, j, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, j: (h, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -360,7 +369,7 @@ def packed_prefill_attention_kernel(q, k, v, seg_ids, sm_scale=None,
             bytes_accessed=int(t * d * (hq + 2 * hkv) * 2),
             transcendentals=hq * t * t),
         interpret=interpret,
-    )(jnp.asarray(seg_ids, jnp.int32), qt, kt, vt)
+    )(qt, kt, vt, seg_rows, seg_cols)
     out = jnp.swapaxes(out, 0, 1)
     return out[:t_in] if pad_t else out
 
