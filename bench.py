@@ -23,6 +23,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("TLLM_FORCE_CPU"):
+    # smoke-test knob: the env-var form (JAX_PLATFORMS) is ignored here —
+    # sitecustomize force-registers the axon backend before user code runs.
+    jax.config.update("jax_platforms", "cpu")
+
 from trtllm_llama_tpu.utils.compile_cache import enable_compile_cache
 
 # TRT-engine-file analogue: repeat runs (driver reruns, retries after a
@@ -82,7 +87,11 @@ def build_engine(config_name: str, batch: int, max_len: int):
         "fp8kv": QuantMode.FP8_QDQ | QuantMode.FP8_KV_CACHE,
     }[config_name]
     group = 128 if config_name == "int4" else 0
-    cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group)
+    # long-context runs (BENCH_IN past LLaMA-1's 2048) extend the RoPE table;
+    # prefill streams K/V blocks (streaming_prefill_attention) past S=2048.
+    n_pos = max(2048, 1 << (max_len - 1).bit_length())
+    cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group,
+                               max_position_embeddings=n_pos)
 
     # Random weights born quantized — never materializes the fp 7B model
     # (decode throughput is weight-value independent).
@@ -216,9 +225,48 @@ def latency_bench(config_name: str):
     })
 
 
+def _watchdogs(config_name: str):
+    """Bound the two infra hangs that can eat the round's scoreboard.
+
+    (1) Backend/device discovery through the axon tunnel can HANG (not
+    raise) when the tunnel is down — observed >120 s with no exception.
+    Probe it in a daemon thread with a deadline so a dead tunnel becomes
+    an emitted-JSON failure instead of a driver-side timeout kill.
+    (2) A global deadline re-emits the JSON error line even if some later
+    stage wedges (Mosaic remote compile, d2h transfer)."""
+    import threading
+
+    def _die(stage: str):
+        _emit({
+            "metric": f"tokens/sec/chip (LLaMA-7B {config_name})",
+            "value": None, "unit": "tokens/s", "vs_baseline": None,
+            "error": f"watchdog: {stage}",
+        })
+        os._exit(1)
+
+    probe_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180"))
+    found = []
+    t = threading.Thread(target=lambda: found.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=probe_s)
+    if not found:
+        _die(f"device discovery exceeded {probe_s:.0f}s (tunnel down?)")
+
+    deadline_s = float(os.environ.get("BENCH_DEADLINE", "1500"))
+    if deadline_s > 0:
+        timer = threading.Timer(deadline_s,
+                                _die, (f"bench exceeded {deadline_s:.0f}s",))
+        timer.daemon = True
+        timer.start()
+        return timer
+    return None
+
+
 def main():
     config_name = os.environ.get("BENCH_CONFIG", "int8")
     mode = os.environ.get("BENCH_MODE", "latency")
+    timer = _watchdogs(config_name)
     last_err = None
     for attempt in range(_MAX_ATTEMPTS):
         try:
@@ -226,6 +274,8 @@ def main():
                 serving_bench(config_name)
             else:
                 latency_bench(config_name)
+            if timer is not None:
+                timer.cancel()
             return
         except Exception as e:  # noqa: BLE001 — always emit the JSON line
             last_err = e
