@@ -235,3 +235,83 @@ def test_packed_prefill_kernel_matches_reference(hq, hkv):
                                    np.asarray(single)[0],
                                    atol=2e-2, rtol=2e-2)
         off += n
+
+
+@pytest.mark.parametrize("hq,hkv,s,lens", [
+    (4, 2, 640, (600, 512)),        # multi-block online softmax, GQA, ragged
+    (2, 2, 1536, (1536, 700)),      # several KV blocks, causal skip
+    (2, 1, 2100, (2100, 64)),       # non-bk-divisible S (pads to 2560)
+])
+def test_streaming_prefill_matches_reference(hq, hkv, s, lens):
+    from trtllm_llama_tpu.ops.pallas.attention import (
+        streaming_prefill_attention_kernel,
+    )
+    rng = np.random.default_rng(7)
+    b, d = 2, 128
+    q = rng.standard_normal((b, s, hq, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    sl = jnp.asarray(lens, jnp.int32)
+
+    out = streaming_prefill_attention_kernel(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), sl, interpret=True)
+    expected = ref.prefill_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), sl)
+    for i, n in enumerate(lens):      # pad query rows are undefined
+        np.testing.assert_allclose(np.asarray(out)[i, :n],
+                                   np.asarray(expected)[i, :n],
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_streaming_prefill_alibi():
+    from trtllm_llama_tpu.ops.pallas.attention import (
+        streaming_prefill_attention_kernel,
+    )
+    rng = np.random.default_rng(8)
+    b, s, hq, d = 1, 1024, 4, 128
+    q = rng.standard_normal((b, s, hq, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, s, hq, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, s, hq, d)).astype(np.float32)
+    slopes = ref.alibi_slopes(hq)
+    out = streaming_prefill_attention_kernel(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        alibi=slopes, interpret=True)
+    expected = ref.prefill_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), alibi=slopes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_model_long_prompt_uses_streaming_prefill():
+    """Dispatch wiring: prompts past prefill_streaming_min_s route to the
+    streaming kernel in-model; output must match the plain path."""
+    from trtllm_llama_tpu.config import ModelConfig
+    from trtllm_llama_tpu.models import llama
+    from trtllm_llama_tpu.ops.registry import KERNELS, enable_pallas_kernels
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = ModelConfig.tiny(hidden_size=256, num_heads=2, num_kv_heads=2,
+                           head_dim=128, dtype="float32",
+                           max_position_embeddings=256)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = np.random.default_rng(3).integers(3, 250, (2, 100))
+
+    def run():
+        caches = llama.init_caches(cfg, 2, 128)
+        lens = jnp.asarray([100, 70], jnp.int32)
+        logits, _ = llama.forward_prefill(
+            params, cfg, jnp.asarray(ids), lens, caches)
+        return np.asarray(logits)
+
+    plain = run()
+    enable_pallas_kernels(True)
+    old = KERNELS["prefill_streaming_min_s"]
+    KERNELS["prefill_streaming_min_s"] = 64       # force the streaming branch
+    KERNELS["fused_decode_attention"] = None
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            streamed = run()
+    finally:
+        KERNELS["prefill_streaming_min_s"] = old
+        enable_pallas_kernels(False)
+    np.testing.assert_allclose(streamed, plain, atol=2e-3, rtol=1e-3)

@@ -141,6 +141,52 @@ def write_kv_packed_at(cache: KVCache, layer, k, v, slot_tok,
     return KVCache(kc, vc, cache.scale)
 
 
+def write_kv_extend_at(cache: KVCache, layer, k, v, start) -> KVCache:
+    """Stacked cache: write a T-token slab per sequence at offset positions.
+
+    k/v: [B, T, H_kv, D]; row (b, i) lands at position start[b] + i. The
+    multi-token generalization of write_kv_decode_at, used by speculative
+    verification (process γ+1 tokens in one target forward)."""
+    lc = _layer_cache(cache, layer)
+    b, t = k.shape[:2]
+    pos = (start[:, None] + jnp.arange(t)[None]).astype(jnp.int32)   # [B, T]
+    bidx = jnp.arange(b)[:, None]
+    kc = cache.k.at[layer, bidx, :, pos, :].set(_quant_kv(k, lc))
+    vc = cache.v.at[layer, bidx, :, pos, :].set(_quant_kv(v, lc))
+    return KVCache(kc, vc, cache.scale)
+
+
+def extend_attention_at(q, cache: KVCache, layer, start,
+                        scale: Optional[float] = None):
+    """Causal attention for a T-token slab against layer `layer`.
+
+    q: [B, T, H_q, D]; row (b, i) sits at position start[b] + i and may
+    attend cache positions <= start[b] + i (its own K/V must already be
+    written — call write_kv_extend_at first). Returns [B, T, H_q, D].
+
+    This is the target-model verification step of speculative decoding: one
+    forward over [last_committed, draft_1..draft_γ] replaces γ+1 sequential
+    decode dispatches. XLA path (T is tiny — γ+1 rows; the einsum lands on
+    the MXU like the decode path)."""
+    lc = _layer_cache(cache, layer)
+    b, t, hq, d = q.shape
+    hkv = lc.k.shape[1]
+    s_max = lc.k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    kt = _gqa_repeat(_dequant_kv(lc.k, lc, q.dtype), hq // hkv)  # [B,Hq,S,D]
+    vt = _gqa_repeat(_dequant_kv(lc.v, lc, q.dtype), hq // hkv)
+    logits = jnp.einsum("bthd,bhsd->bhts", q, kt,
+                        preferred_element_type=jnp.float32) * scale
+    rows = start[:, None] + jnp.arange(t)[None]                  # [B, T]
+    cols = jnp.arange(s_max)
+    mask = cols[None, None] <= rows[:, :, None]                  # [B, T, S]
+    logits = jnp.where(mask[:, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhts,bhsd->bthd", probs.astype(q.dtype), vt,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
                               positions, scale: Optional[float] = None,
                               alibi: Optional[jnp.ndarray] = None):
@@ -245,8 +291,14 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None,
     Dispatches to the Pallas prefill kernel (FMHA-cubin equivalent) when
     kernels are enabled and shapes are TPU-tileable.
     """
-    from .registry import kernel
-    k_fn = kernel("prefill_attention")
+    from .registry import KERNELS, kernel
+    # Long prompts stream K/V blocks (flash-style online softmax) — the
+    # VMEM-resident kernel's full [S, D] panels + [bq, S] scores stop
+    # fitting VMEM past S≈2k.
+    name = ("streaming_prefill_attention"
+            if q.shape[1] > KERNELS.get("prefill_streaming_min_s", 2048)
+            else "prefill_attention")
+    k_fn = kernel(name)
     if k_fn is not None and q.shape[-1] % 128 == 0 and causal:
         return k_fn(q, k, v, seq_lens, sm_scale=scale, alibi=alibi)
     b, s, hq, d = q.shape

@@ -7,6 +7,7 @@ tests in tests/. Registration is via ops.registry.enable_pallas_kernels().
 from .attention import (
     decode_attention_kernel, fused_decode_attention,
     packed_prefill_attention_kernel, prefill_attention_kernel,
+    streaming_prefill_attention_kernel,
 )
 from .dma_decode_attention import dma_decode_attention
 from .paged_decode_attention import paged_decode_attention
@@ -25,5 +26,6 @@ def register(registry: dict):
     registry["dma_decode_attention"] = dma_decode_attention
     registry["paged_decode_attention"] = paged_decode_attention
     registry["prefill_attention"] = prefill_attention_kernel
+    registry["streaming_prefill_attention"] = streaming_prefill_attention_kernel
     registry["packed_prefill_attention"] = packed_prefill_attention_kernel
     registry["rmsnorm_quant"] = rmsnorm_quant_kernel

@@ -374,6 +374,133 @@ def packed_prefill_attention_kernel(q, k, v, seg_ids, sm_scale=None,
     return out[:t_in] if pad_t else out
 
 
+def _streaming_prefill_kernel(lens_ref, alibi_ref, q_ref, k_ref, v_ref,
+                              o_ref, acc_ref, m_ref, l_ref,
+                              *, sm_scale, bq, bk, nk):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+    lens = lens_ref[b]
+
+    @pl.when(jk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Causal + length skip: a KV block whose first column is past this q
+    # block's last row (or past the sequence length) contributes nothing.
+    # The pipeline still streams the block through VMEM; only compute is
+    # skipped (same trade the reference FMHA makes for its masked tiles).
+    row_end = (iq + 1) * bq - 1
+    col0 = jk * bk
+
+    @pl.when((col0 <= row_end) & (col0 < lens))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)              # [bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)              # [bk, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [bq, bk]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + col0
+        scores = scores + alibi_ref[h] * cols.astype(jnp.float32)
+        mask = (cols <= rows) & (cols < lens)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]                             # [bq, 1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[...] = jnp.broadcast_to(alpha * l_prev
+                                      + jnp.sum(p, axis=1, keepdims=True),
+                                      l_ref.shape)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jk == nk - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:, :1], 1e-20)          # all-masked pad rows
+        o_ref[0, 0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+def streaming_prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
+                                       bq=256, bk=512, interpret=False,
+                                       alibi=None):
+    """Flash-style causal attention streaming K/V blocks through VMEM.
+
+    Same contract as `prefill_attention_kernel` (q: [B, S, H_q, D]; k, v:
+    [B, S, H_kv, D]) but VMEM use is O(bq·bk), independent of S — this is
+    the long-context prefill path (the VMEM-resident kernel caps at S≈2k on
+    v5e). Online-softmax accumulation in fp32 scratch across the innermost
+    KV-block grid axis; fully-masked blocks skip compute (causal + length).
+    Reference analogue: the S-tiled FMHA cubins (contextFusedMultiHead
+    Attention) vs their unfused BMM fallback."""
+    b, s_in, hq, d = q.shape
+    hkv = k.shape[2]
+    r = hq // hkv
+    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+    if seq_lens is None:
+        seq_lens = jnp.full((b,), s_in, jnp.int32)
+    if alibi is None:
+        alibi = jnp.zeros((hq,), jnp.float32)
+    pad_s = (-s_in) % bk
+    if pad_s:
+        pad = ((0, 0), (0, pad_s), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    s = s_in + pad_s
+    bq = min(bq, s)
+
+    qt = jnp.swapaxes(q, 1, 2)                  # [B, Hq, S, D]
+    kt = jnp.swapaxes(k, 1, 2)                  # [B, Hkv, S, D]
+    vt = jnp.swapaxes(v, 1, 2)
+    nk = s // bk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                  # seq_lens, alibi slopes
+        grid=(b, hq, s // bq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d),
+                         lambda i, h, j, kk, *_: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda i, h, j, kk, *_: (i, h // r, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda i, h, j, kk, *_: (i, h // r, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda i, h, j, kk, *_: (i, h, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),    # output accumulator
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max
+            pltpu.VMEM((bq, 128), jnp.float32),  # running denom
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_streaming_prefill_kernel, sm_scale=sm_scale,
+                          bq=bq, bk=bk, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * s * d,
+            bytes_accessed=int(b * s * d * (hq + 2 * hkv * (s // bq)) * 2),
+            transcendentals=b * hq * s * s),
+        interpret=interpret,
+    )(jnp.asarray(seq_lens, jnp.int32), jnp.asarray(alibi, jnp.float32),
+      qt, kt, vt)
+    out = jnp.swapaxes(out, 1, 2)
+    return out[:, :s_in] if pad_s else out
+
+
 def prefill_attention_kernel(q, k, v, seq_lens=None, sm_scale=None,
                              bq=256, interpret=False, alibi=None):
     """Causal self-attention. q: [B, S, H_q, D]; k, v: [B, S, H_kv, D];

@@ -20,7 +20,13 @@ KERNELS = {
     "dma_decode_attention": None,
     "paged_decode_attention": None,
     "prefill_attention": None,
+    "streaming_prefill_attention": None,
     "packed_prefill_attention": None,
+    # Prompt length above which prefill dispatches to the streaming
+    # (flash-style, KV-block-tiled) kernel instead of the VMEM-resident one.
+    # The VMEM kernel holds each head's full K/V panel plus a [bq, S] score
+    # block: past S≈2k that stops fitting v5e's 16 MB VMEM.
+    "prefill_streaming_min_s": 2048,
     "rmsnorm_quant": None,
     # Decode attention path: 'xla' (scatter + einsum), 'split' (scatter +
     # read-only pallas kernel), 'fused' (write+attend aliased kernel; writes
