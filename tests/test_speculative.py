@@ -1,0 +1,119 @@
+"""Speculative decoding: exactness vs vanilla greedy decode.
+
+Greedy speculative decoding is provably output-identical to plain greedy
+decode (the accepted prefix matches the target argmax by construction and
+the bonus token IS the target argmax), so every test asserts token-for-token
+equality with GenerationSession — across gammas, draft quality (random
+draft ≈ always-reject; self-draft ≈ always-accept), EOS truncation, and
+ragged batches. No reference analogue (the reference decodes one token per
+step, runtime/generation.py:852-996).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+from trtllm_llama_tpu.models import llama
+from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+from trtllm_llama_tpu.runtime.session import GenerationSession
+from trtllm_llama_tpu.runtime.speculative import SpeculativeSession
+
+CFG = ModelConfig.tiny(dtype="float32")
+DCFG = ModelConfig.tiny(dtype="float32", num_layers=1, hidden_size=64,
+                        intermediate_size=128, num_heads=2, num_kv_heads=2,
+                        head_dim=32)
+ECFG = EngineConfig(max_batch_size=2, max_input_len=16, max_seq_len=64)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    dparams = llama.init_params(DCFG, jax.random.PRNGKey(1))
+    base = GenerationSession(CFG, params, ECFG)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 250, (9,)).tolist(),
+               rng.integers(3, 250, (5,)).tolist()]
+    return params, dparams, base, prompts
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 4, 6])
+def test_matches_greedy_random_draft(setup, gamma):
+    """A random draft proposes garbage — near-zero acceptance — yet the
+    output must still be exactly the target's greedy decode."""
+    params, dparams, base, prompts = setup
+    scfg = SamplingConfig(end_id=-1)
+    ref = base.generate(prompts, sampling=scfg, max_new_tokens=24)
+    spec = SpeculativeSession(CFG, params, DCFG, dparams, ECFG, gamma=gamma)
+    got = spec.generate(prompts, sampling=scfg, max_new_tokens=24)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+    np.testing.assert_array_equal(got.lengths, ref.lengths)
+
+
+def test_matches_greedy_self_draft(setup):
+    """Draft == target: every proposal accepted (γ+1 tokens/iteration);
+    output still identical."""
+    params, _, base, prompts = setup
+    scfg = SamplingConfig(end_id=-1)
+    ref = base.generate(prompts, sampling=scfg, max_new_tokens=24)
+    spec = SpeculativeSession(CFG, params, CFG, params, ECFG, gamma=4)
+    got = spec.generate(prompts, sampling=scfg, max_new_tokens=24)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+    np.testing.assert_array_equal(got.lengths, ref.lengths)
+
+
+@pytest.mark.parametrize("end_id", [7, 62])
+def test_eos_truncation(setup, end_id):
+    """EOS inside an accepted slab truncates at exactly the same position
+    as vanilla decode (including EOS produced by the bonus token)."""
+    params, dparams, base, prompts = setup
+    scfg = SamplingConfig(end_id=end_id)
+    ref = base.generate(prompts, sampling=scfg, max_new_tokens=24)
+    spec = SpeculativeSession(CFG, params, DCFG, dparams, ECFG, gamma=3)
+    got = spec.generate(prompts, sampling=scfg, max_new_tokens=24)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+    np.testing.assert_array_equal(got.lengths, ref.lengths)
+
+
+def test_stochastic_config_rejected(setup):
+    params, dparams, _, prompts = setup
+    spec = SpeculativeSession(CFG, params, DCFG, dparams, ECFG)
+    with pytest.raises(ValueError, match="greedy-only"):
+        spec.generate(prompts, sampling=SamplingConfig(top_k=5),
+                      max_new_tokens=4)
+
+
+def test_vocab_mismatch_rejected(setup):
+    params, dparams, _, _ = setup
+    bad = ModelConfig.tiny(vocab_size=128)
+    with pytest.raises(ValueError, match="vocabulary"):
+        SpeculativeSession(CFG, params, bad, dparams, ECFG)
+
+
+def test_forward_extend_matches_sequential_decode():
+    """forward_extend over T tokens == T sequential forward_decode calls
+    (logits and cache contents)."""
+    import jax.numpy as jnp
+    params = llama.init_params(CFG, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(3)
+    B, L, T = 2, 7, 4
+    ids = jnp.asarray(rng.integers(3, 250, (B, L)))
+    lens = jnp.asarray([7, 5], jnp.int32)
+    toks = jnp.asarray(rng.integers(3, 250, (B, T)))
+
+    c1 = llama.init_caches(CFG, B, 64)
+    _, c1 = llama.forward_prefill(params, CFG, ids, lens, c1)
+    seq_logits, pos = [], lens
+    for i in range(T):
+        lg, c1 = llama.forward_decode(params, CFG, toks[:, i], pos, c1)
+        seq_logits.append(lg)
+        pos = pos + 1
+    seq_logits = jnp.stack(seq_logits, 1)
+
+    c2 = llama.init_caches(CFG, B, 64)
+    _, c2 = llama.forward_prefill(params, CFG, ids, lens, c2)
+    ext_logits, c2 = llama.forward_extend(params, CFG, toks, lens, c2)
+
+    np.testing.assert_allclose(np.asarray(ext_logits),
+                               np.asarray(seq_logits), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(c1.k), np.asarray(c2.k), atol=1e-5)

@@ -30,8 +30,9 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, PackedMeta, fused_decode_attention_at, packed_prefill_attention,
-    prefill_attention, write_kv_packed_at, write_kv_prefill_at,
+    KVCache, PackedMeta, extend_attention_at, fused_decode_attention_at,
+    packed_prefill_attention, prefill_attention, write_kv_extend_at,
+    write_kv_packed_at, write_kv_prefill_at,
 )
 from ..ops.paged_attention import (
     PagedKVCache, paged_fused_decode_attention_at, paged_write_prefill_at,
@@ -148,7 +149,8 @@ def fuse_gate_up_params(params: Params) -> Params:
 
 
 def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
-                seq_lens, decode: bool, packed: PackedMeta = None):
+                seq_lens, decode: bool, packed: PackedMeta = None,
+                extend=None):
     """Shared attention block. x: [B,S,D] (prefill) or [B,D] (decode).
 
     lw holds the *stacked* layer weights; `layer` is the (traced) layer
@@ -192,7 +194,12 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     paged = isinstance(caches, PagedKVCache)
-    if packed is not None:
+    if extend is not None:
+        # multi-token slab at offset positions (speculative verification):
+        # x [B, T, D]; extend = start positions [B]
+        caches = write_kv_extend_at(caches, layer, k, v, extend)
+        attn = extend_attention_at(q, caches, layer, extend)
+    elif packed is not None:
         # packed prefill: x [T, D]; q/k/v [T, H, D]
         caches = write_kv_packed_at(caches, layer, k, v, packed.slot_tok,
                                     packed.pos_tok)
@@ -257,20 +264,21 @@ UNROLL_LAYERS = {"enabled": False}
 
 
 def _run_layers(cfg: ModelConfig, params: Params, x, cos, sin, caches,
-                seq_lens, decode: bool, packed: PackedMeta = None):
+                seq_lens, decode: bool, packed: PackedMeta = None,
+                extend=None):
     lw = params["layers"]
 
     if UNROLL_LAYERS["enabled"]:
         for layer in range(cfg.num_layers):
             x, caches = _attn_block(cfg, lw, layer, x, cos, sin, caches,
-                                    seq_lens, decode, packed)
+                                    seq_lens, decode, packed, extend)
             x = _mlp_block(cfg, lw, layer, x)
         return x, caches
 
     def body(carry, layer):
         x, caches = carry
         h, caches = _attn_block(cfg, lw, layer, x, cos, sin, caches,
-                                seq_lens, decode, packed)
+                                seq_lens, decode, packed, extend)
         h = _mlp_block(cfg, lw, layer, h)
         return (h, caches), None
 
@@ -323,6 +331,30 @@ def forward_prefill_packed(params: Params, cfg: ModelConfig, token_ids,
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.take(x, last_idx, axis=0)                             # [nb, D]
     logits = dense(last, params["lm_head"], jnp.float32)
+    return logits, caches
+
+
+def forward_extend(params: Params, cfg: ModelConfig, tokens, start,
+                   caches: KVCache):
+    """Multi-token generation-phase forward (speculative verification).
+
+    tokens: [B, T] int32 — token (b, i) sits at position start[b] + i; its
+    K/V is written there and it attends causally to everything at or before
+    itself. Returns (logits [B, T, V], caches). Row i's logits predict the
+    token at position start[b] + i + 1 — verifying γ proposals takes one
+    such call instead of γ sequential forward_decode dispatches (the target
+    side of speculative decoding; no reference analogue — the reference
+    decodes strictly one token per step, runtime/generation.py:852-996)."""
+    b, t = tokens.shape
+    x = embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)  # [B, T, D]
+    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
+                              cfg.rope_theta)
+    positions = start[:, None] + jnp.arange(t)[None]              # [B, T]
+    cos, sin = take_rope(cos_t, sin_t, positions)                 # [B,T,1,d]
+    x, caches = _run_layers(cfg, params, x, cos, sin, caches, None, False,
+                            extend=start)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = dense(x, params["lm_head"], jnp.float32)
     return logits, caches
 
 

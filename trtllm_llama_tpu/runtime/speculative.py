@@ -1,0 +1,234 @@
+"""Speculative decoding: draft-model propose, target-model verify.
+
+No reference analogue — the reference decodes strictly one token per step
+(runtime/generation.py:852-996); this is a beyond-parity latency feature.
+Greedy two-model speculative decoding (Leviathan et al. 2023, greedy case):
+
+  per iteration (whole loop ON DEVICE, one dispatch per request batch):
+    1. the draft model runs γ+1 sequential decode steps, proposing up to γ
+       tokens past the committed prefix (its own K/V bookkeeping folded into
+       the same loop: steps whose position is already committed re-feed the
+       committed token instead of a proposal — that is how the draft model
+       catches up on the bonus token it never processed);
+    2. the target model runs ONE forward_extend over
+       [last_committed, draft_1..draft_γ] — γ+1 positions verified for the
+       price (in dispatches, and nearly in HBM traffic: weights are read
+       once for the whole slab) of a single decode step;
+    3. accept the longest prefix where draft greedy == target greedy, then
+       commit one extra token from the target's own distribution (the
+       "bonus": on full acceptance γ+1 tokens per iteration). Acceptance,
+       EOS truncation, and budget capping are all in-graph — the host sees
+       only the final (output_ids, lengths).
+
+Greedy-only by design: acceptance compares argmaxes, so the output is
+bit-identical to GenerationSession's greedy decode whenever argmax ties
+don't flip (exactness property of speculative decoding). Stochastic
+rejection sampling is a possible extension; stochastic configs raise.
+
+Why this matters on TPU: single-stream decode is HBM-bound on target
+weights. Each accepted token amortizes one full weight read across
+1 + E[accepted] tokens — with a well-matched draft (e.g. LLaMA-160M
+drafting for 7B) that is a 2-3× single-stream speedup.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..models import llama
+from .sampling import SamplingConfig
+from .session import GenerationOutput
+
+
+class SpeculativeSession:
+    """Two-model speculative generation session.
+
+    cfg/params: the target model; draft_cfg/draft_params: the (small) draft
+    model — same vocabulary required. gamma: proposals per iteration.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, draft_cfg: ModelConfig,
+                 draft_params, engine_cfg: EngineConfig, gamma: int = 4,
+                 kv_scales=None, draft_kv_scales=None,
+                 model=None, draft_model=None):
+        if cfg.vocab_size != draft_cfg.vocab_size:
+            raise ValueError("draft and target must share a vocabulary")
+        if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
+            from ..utils.compile_cache import enable_compile_cache
+            enable_compile_cache()
+        self.cfg = cfg
+        self.draft_cfg = draft_cfg
+        self.engine_cfg = engine_cfg
+        self.gamma = int(gamma)
+        self.model = model if model is not None else llama
+        self.draft_model = draft_model if draft_model is not None else llama
+        self.kv_scales = kv_scales
+        self.draft_kv_scales = draft_kv_scales
+        self.params = params
+        self.draft_params = draft_params
+        if not os.environ.get("TLLM_NO_FUSE_QKV"):
+            fuse_t = getattr(self.model, "fuse_qkv_params", None)
+            if fuse_t is not None:
+                self.params = fuse_t(self.params)
+            fuse_d = getattr(self.draft_model, "fuse_qkv_params", None)
+            if fuse_d is not None:
+                self.draft_params = fuse_d(self.draft_params)
+        if jax.default_backend() != "cpu":
+            from ..ops.registry import enable_pallas_kernels
+            enable_pallas_kernels(True)
+        self._fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _spec_fn(self, bucket: int, max_new: int, scfg: SamplingConfig):
+        cfg, dcfg = self.cfg, self.draft_cfg
+        model, dmodel = self.model, self.draft_model
+        gamma = self.gamma
+        kv_s, dkv_s = self.kv_scales, self.draft_kv_scales
+        end_id, pad_id = scfg.end_id, scfg.pad_id
+        # the verify slab reaches position (prompt + generated - 1) + γ
+        max_len = bucket + max_new + gamma + 1
+
+        def fn(params_t, params_d, input_ids, seq_lens):
+            b = input_ids.shape[0]
+            bidx = jnp.arange(b)
+            caches_t = model.init_caches(cfg, b, max_len, kv_s)
+            caches_d = dmodel.init_caches(dcfg, b, max_len, dkv_s)
+
+            logits, caches_t = model.forward_prefill(
+                params_t, cfg, input_ids, seq_lens, caches_t)
+            _, caches_d = dmodel.forward_prefill(
+                params_d, dcfg, input_ids, seq_lens, caches_d)
+            g1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out = jnp.full((b, max_new), pad_id, jnp.int32).at[:, 0].set(g1)
+            lengths = jnp.ones((b,), jnp.int32)
+            done = (g1 == end_id) | (max_new <= 1)
+            draft_pos = seq_lens.astype(jnp.int32)  # 1st position draft lacks
+
+            def committed_at(out, q):
+                """Token at absolute position q[b] (q >= seq_lens always —
+                prompt positions never re-enter the loops)."""
+                col = jnp.clip(q - seq_lens, 0, max_new - 1)
+                return jnp.take_along_axis(out, col[:, None], 1)[:, 0]
+
+            def cond(st):
+                it, _, _, done, *_ = st
+                return (it < max_new) & ~jnp.all(done)
+
+            def body(st):
+                it, out, lengths, done, draft_pos, caches_t, caches_d = st
+                p_new = seq_lens + lengths       # position after committed
+
+                # -- 1. draft: γ+1 sequential steps from draft_pos ---------
+                def dbody(j, dst):
+                    caches_d, prev, props = dst
+                    q = draft_pos + j
+                    inp = jnp.where(q < p_new, committed_at(out, q), prev)
+                    qc = jnp.minimum(q, max_len - 1)   # frozen rows stay put
+                    lgd, caches_d = dmodel.forward_decode(
+                        params_d, dcfg, inp, qc, caches_d)
+                    samp = jnp.argmax(lgd, axis=-1).astype(jnp.int32)
+                    # this step predicts position q+1 -> proposal slot i
+                    i = q + 1 - p_new
+                    ok = (i >= 0) & (i < gamma)
+                    ic = jnp.clip(i, 0, gamma - 1)
+                    props = props.at[bidx, ic].set(
+                        jnp.where(ok, samp, props[bidx, ic]))
+                    return caches_d, samp, props
+
+                props0 = jnp.full((b, gamma), pad_id, jnp.int32)
+                caches_d, _, props = jax.lax.fori_loop(
+                    0, gamma + 1, dbody,
+                    (caches_d, jnp.zeros((b,), jnp.int32), props0))
+
+                # -- 2. target verify: one extend over [last, props] -------
+                last = committed_at(out, p_new - 1)
+                ver = jnp.concatenate([last[:, None], props], axis=1)
+                start = jnp.minimum(p_new - 1, max_len - gamma - 1)
+                lg, caches_t = model.forward_extend(
+                    params_t, cfg, ver, start, caches_t)
+                g = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, γ+1]
+
+                # -- 3. accept longest matching prefix + bonus token -------
+                match = props == g[:, :gamma]
+                n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), 1), 1)
+                i_idx = jnp.arange(gamma + 1)[None]
+                bonus = jnp.take_along_axis(g, n[:, None], 1)
+                props_ext = jnp.concatenate(
+                    [props, jnp.zeros((b, 1), jnp.int32)], 1)
+                slab = jnp.where(i_idx < n[:, None], props_ext,
+                                 jnp.where(i_idx == n[:, None], bonus,
+                                           pad_id))
+                room = (max_new - lengths)[:, None]
+                valid = ((i_idx <= n[:, None]) & (i_idx < room)
+                         & ~done[:, None])
+                is_eos = (slab == end_id) & valid
+                valid = valid & (jnp.cumsum(is_eos, 1) - is_eos == 0)
+                k_commit = jnp.sum(valid.astype(jnp.int32), 1)
+
+                # invalid entries get an out-of-range column and are dropped
+                # — clipping them instead would duplicate the last column
+                # and race the valid write there (undefined scatter order)
+                col = jnp.where(valid, lengths[:, None] + i_idx, max_new)
+                out = out.at[bidx[:, None], col].set(slab, mode="drop")
+                new_lengths = lengths + k_commit
+                new_done = (done | jnp.any(is_eos & valid, 1)
+                            | (new_lengths >= max_new))
+                # draft cache valid through p_new+n-1, capped by what the
+                # γ+1 steps actually wrote (q_max+1 = draft_pos+γ+1)
+                draft_pos = jnp.where(
+                    done, draft_pos,
+                    jnp.minimum(p_new + n, draft_pos + gamma + 1))
+                return (it + 1, out, new_lengths, new_done, draft_pos,
+                        caches_t, caches_d)
+
+            st = (jnp.int32(1), out, lengths, done, draft_pos,
+                  caches_t, caches_d)
+            st = jax.lax.while_loop(cond, body, st)
+            return st[1], st[2]
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def generate(self, input_ids, seq_lens=None,
+                 sampling: Optional[SamplingConfig] = None,
+                 max_new_tokens: int = 32) -> GenerationOutput:
+        """Greedy speculative generation; same contract as
+        GenerationSession.generate (list-of-lists or padded [B, S])."""
+        scfg = sampling or SamplingConfig()
+        if not scfg.is_greedy:
+            raise ValueError("SpeculativeSession is greedy-only (acceptance "
+                             "compares argmaxes); use GenerationSession for "
+                             "stochastic sampling")
+        if scfg.bad_words or scfg.stop_words or (
+                scfg.repetition_penalty != 1.0 or scfg.presence_penalty
+                or scfg.frequency_penalty):
+            raise ValueError("penalties/word constraints are not supported "
+                             "in the speculative path yet")
+        if isinstance(input_ids, (list, tuple)):
+            seq_lens = np.array([len(x) for x in input_ids], np.int32)
+            s = int(seq_lens.max())
+            arr = np.full((len(input_ids), s), scfg.pad_id, np.int32)
+            for i, x in enumerate(input_ids):
+                arr[i, :len(x)] = x
+            input_ids = arr
+        input_ids = np.asarray(input_ids)
+        b, s = input_ids.shape
+        if seq_lens is None:
+            seq_lens = np.full((b,), s, np.int32)
+        bucket = self.engine_cfg.bucket_for(s)
+        padded = np.full((b, bucket), scfg.pad_id, np.int32)
+        padded[:, :s] = input_ids
+
+        key = (bucket, b, max_new_tokens, scfg)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._spec_fn(bucket, max_new_tokens, scfg)
+        out, lengths = self._fn_cache[key](
+            self.params, self.draft_params, jnp.asarray(padded),
+            jnp.asarray(seq_lens, jnp.int32))
+        return GenerationOutput(np.asarray(out), np.asarray(lengths))
