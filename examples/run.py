@@ -31,6 +31,11 @@ def parse_args():
     p.add_argument("--top_p", type=float, default=0.0)
     p.add_argument("--repetition_penalty", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--draft_engine_dir", default=None,
+                   help="engine dir of a small draft model: enables "
+                        "speculative decoding (greedy-only)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative proposals per iteration")
     return p.parse_args()
 
 
@@ -45,11 +50,17 @@ def main():
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_dir)
     cfg, params, kv_scales = load_engine(args.engine_dir)
-    sess = GenerationSession(
-        cfg, params,
-        EngineConfig(max_input_len=args.max_input_len,
-                     max_seq_len=args.max_input_len + args.max_output_len),
-        kv_scales=kv_scales)
+    ecfg = EngineConfig(
+        max_input_len=args.max_input_len,
+        max_seq_len=args.max_input_len + args.max_output_len)
+    if args.draft_engine_dir:
+        from trtllm_llama_tpu.runtime.speculative import SpeculativeSession
+        dcfg, dparams, dkv = load_engine(args.draft_engine_dir)
+        sess = SpeculativeSession(cfg, params, dcfg, dparams, ecfg,
+                                  gamma=args.gamma, kv_scales=kv_scales,
+                                  draft_kv_scales=dkv)
+    else:
+        sess = GenerationSession(cfg, params, ecfg, kv_scales=kv_scales)
 
     ids = tokenizer(args.input_text).input_ids
     scfg = SamplingConfig(

@@ -87,3 +87,27 @@ def test_benchmark_cli(tiny_ckpt, tmp_path):
                   "--output_len", "4", "--num_runs", "1")
     rows = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
     assert len(rows) == 2 and all(r["tokens_per_s"] > 0 for r in rows)
+
+
+def test_run_speculative_cli(tiny_ckpt, tmp_path):
+    """run.py --draft_engine_dir: speculative output == plain greedy run."""
+    eng = str(tmp_path / "engine")
+    draft = str(tmp_path / "draft")
+    run_cli("convert_checkpoint.py", "--model_dir", tiny_ckpt,
+            "--output_dir", eng, "--dtype", "float32")
+    # draft: the same tiny model weight-only-quantized (stand-in for a
+    # genuinely smaller model; vocabularies must match)
+    run_cli("convert_checkpoint.py", "--model_dir", tiny_ckpt,
+            "--output_dir", draft, "--use_weight_only", "--weight_bits", "8",
+            "--dtype", "float32")
+    plain = run_cli("run.py", "--engine_dir", eng,
+                    "--tokenizer_dir", tiny_ckpt,
+                    "--input_text", "the quick brown fox",
+                    "--max_output_len", "8", "--max_input_len", "16")
+    spec = run_cli("run.py", "--engine_dir", eng,
+                   "--tokenizer_dir", tiny_ckpt,
+                   "--draft_engine_dir", draft, "--gamma", "3",
+                   "--input_text", "the quick brown fox",
+                   "--max_output_len", "8", "--max_input_len", "16")
+    get = lambda s: [ln for ln in s.splitlines() if ln.startswith("Output:")]
+    assert get(spec) == get(plain)

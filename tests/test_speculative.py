@@ -117,3 +117,28 @@ def test_forward_extend_matches_sequential_decode():
     np.testing.assert_allclose(np.asarray(ext_logits),
                                np.asarray(seq_logits), atol=1e-3, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(c1.k), np.asarray(c2.k), atol=1e-5)
+
+
+@pytest.mark.parametrize("with_kv", [False, True])
+def test_quantized_target(setup, with_kv):
+    """Quantized targets (int8-wo, +int8-KV) fall out of the weight
+    containers — the verify extend path quantizes K/V like decode does."""
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import quantize_params
+    _, dparams, _, prompts = setup
+    qm = QuantMode.use_weight_only(False)
+    if with_kv:
+        qm = qm | QuantMode.INT8_KV_CACHE
+    cfg = ModelConfig.tiny(dtype="float32", quant_mode=qm)
+    params = quantize_params(
+        llama.init_params(ModelConfig.tiny(dtype="float32"),
+                          jax.random.PRNGKey(0)), qm)
+    kvs = (np.full((cfg.num_layers,), 0.05, np.float32) if with_kv else None)
+    scfg = SamplingConfig(end_id=-1)
+    ref = GenerationSession(cfg, params, ECFG, kv_scales=kvs).generate(
+        prompts, sampling=scfg, max_new_tokens=16)
+    got = SpeculativeSession(cfg, params, DCFG, dparams, ECFG, gamma=3,
+                             kv_scales=kvs).generate(
+        prompts, sampling=scfg, max_new_tokens=16)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+    np.testing.assert_array_equal(got.lengths, ref.lengths)

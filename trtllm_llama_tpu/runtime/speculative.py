@@ -197,9 +197,11 @@ class SpeculativeSession:
     # ------------------------------------------------------------------
     def generate(self, input_ids, seq_lens=None,
                  sampling: Optional[SamplingConfig] = None,
-                 max_new_tokens: int = 32) -> GenerationOutput:
+                 max_new_tokens: int = 32, seed: int = 0) -> GenerationOutput:
         """Greedy speculative generation; same contract as
-        GenerationSession.generate (list-of-lists or padded [B, S])."""
+        GenerationSession.generate (list-of-lists or padded [B, S]).
+        `seed` is accepted for API parity but unused — the greedy path is
+        deterministic."""
         scfg = sampling or SamplingConfig()
         if not scfg.is_greedy:
             raise ValueError("SpeculativeSession is greedy-only (acceptance "
