@@ -306,6 +306,7 @@ def test_model_long_prompt_uses_streaming_prefill():
     plain = run()
     enable_pallas_kernels(True)
     old = KERNELS["prefill_streaming_min_s"]
+    old_fused = KERNELS["fused_decode_attention"]
     KERNELS["prefill_streaming_min_s"] = 64       # force the streaming branch
     KERNELS["fused_decode_attention"] = None
     try:
@@ -313,5 +314,6 @@ def test_model_long_prompt_uses_streaming_prefill():
             streamed = run()
     finally:
         KERNELS["prefill_streaming_min_s"] = old
+        KERNELS["fused_decode_attention"] = old_fused
         enable_pallas_kernels(False)
     np.testing.assert_allclose(streamed, plain, atol=2e-3, rtol=1e-3)

@@ -103,6 +103,7 @@ def test_sq_model_with_kernels_matches_plain():
 
     plain = run()
     enable_pallas_kernels(True)
+    snapshot = dict(KERNELS)
     for k in list(KERNELS):
         if k not in ("enabled", "w8a8_matmul_stacked"):
             KERNELS[k] = None
@@ -110,5 +111,6 @@ def test_sq_model_with_kernels_matches_plain():
         with pltpu.force_tpu_interpret_mode():
             kerneled = run()
     finally:
+        KERNELS.update(snapshot)
         enable_pallas_kernels(False)
     np.testing.assert_allclose(kerneled, plain, atol=1e-5, rtol=1e-5)

@@ -296,7 +296,7 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None,
     # VMEM-resident kernel's full [S, D] panels + [bq, S] scores stop
     # fitting VMEM past S≈2k.
     name = ("streaming_prefill_attention"
-            if q.shape[1] > KERNELS.get("prefill_streaming_min_s", 2048)
+            if q.shape[1] > (KERNELS.get("prefill_streaming_min_s") or 2048)
             else "prefill_attention")
     k_fn = kernel(name)
     if k_fn is not None and q.shape[-1] % 128 == 0 and causal:
