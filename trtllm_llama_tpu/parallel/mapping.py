@@ -8,9 +8,15 @@ XLA/GSPMD inserts the collectives over ICI (intra-slice) / DCN (inter-slice).
 
 Axis convention:
   'dp'  — data/batch replicas (reference has none; we support it)
+  'sp'  — sequence parallel: prefill activations sharded over the prompt
+          axis (reference has none — its long-context story is packed
+          inputs + multi-block decode, SURVEY §2.6; here long prompts can
+          additionally spread over chips). With `shard_kv_seq` the KV cache
+          S axis is sharded too (distributed flash-decode: GSPMD reduces
+          the attention over sp).
   'tp'  — tensor parallel (the reference's only axis)
-Sequence/pipeline axes are future extensions; the PartitionSpec helpers below
-are the single source of truth for how every tensor in the engine is laid out.
+The PartitionSpec helpers below are the single source of truth for how every
+tensor in the engine is laid out.
 """
 
 from __future__ import annotations
@@ -28,18 +34,24 @@ class Mapping:
 
     dp: int = 1
     tp: int = 1
+    sp: int = 1
+    # Shard the KV cache sequence axis over 'sp' (context-parallel decode:
+    # each sp shard holds an S/sp cache slab; attention scores psum/concat
+    # over sp is GSPMD-inserted). Off by default — the scatter KV writes
+    # cross shard boundaries and cost collectives per step.
+    shard_kv_seq: bool = False
 
     @property
     def world_size(self) -> int:
-        return self.dp * self.tp
+        return self.dp * self.sp * self.tp
 
     def make_mesh(self, devices=None) -> Mesh:
         devices = np.asarray(devices if devices is not None else jax.devices())
         if devices.size < self.world_size:
             raise ValueError(
                 f"need {self.world_size} devices, have {devices.size}")
-        devices = devices.reshape(self.dp, self.tp)
-        return Mesh(devices, axis_names=("dp", "tp"))
+        devices = devices.reshape(self.dp, self.sp, self.tp)
+        return Mesh(devices, axis_names=("dp", "sp", "tp"))
 
     # ---- PartitionSpecs: the engine-wide sharding contract ----
     # Weight layouts follow the reference's column/row pattern
@@ -66,10 +78,17 @@ class Mapping:
         """[batch, seq, hidden]: batch over dp, hidden replicated."""
         return P(*(["dp"] + [None] * (ndim - 1)))
 
-    @staticmethod
-    def kv_cache() -> P:
-        """Stacked KV cache [L, B, H_kv, S, D]: heads over tp, batch over dp."""
-        return P(None, "dp", "tp", None, None)
+    def seq_activations(self, ndim: int = 3) -> P:
+        """Prefill activations [batch, seq, ...]: batch over dp, seq over sp."""
+        return P("dp" if self.dp > 1 else None,
+                 "sp" if self.sp > 1 else None,
+                 *([None] * (ndim - 2)))
+
+    def kv_cache(self) -> P:
+        """Stacked KV cache [L, B, H_kv, S, D]: heads over tp, batch over dp,
+        optionally S over sp (context-parallel decode)."""
+        return P(None, "dp", "tp",
+                 "sp" if (self.sp > 1 and self.shard_kv_seq) else None, None)
 
     def shardings(self, mesh: Mesh, specs):
         """Map a pytree of PartitionSpecs to NamedShardings."""

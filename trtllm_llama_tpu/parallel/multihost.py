@@ -54,26 +54,28 @@ def initialize(coordinator_address: Optional[str] = None,
         # auto-discovery on a single host (tests, one process): nothing to do
 
 
-def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None) -> Mesh:
+def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None,
+             sp: int = 1) -> Mesh:
     """Global mesh over all devices of all hosts.
 
     Defaults: 'tp' spans the devices of one host/slice (ICI-connected),
-    'dp' spans hosts (DCN). Pass tp/dp to override (tp*dp must equal the
-    global device count; tp should divide the per-slice chip count so the
-    TP collectives never cross DCN).
+    'dp' spans hosts (DCN). Pass tp/dp/sp to override (dp*sp*tp must equal
+    the global device count; sp*tp should divide the per-slice chip count so
+    the TP/SP collectives never cross DCN).
     """
     n = jax.device_count()
     local = max(jax.local_device_count(), 1)
-    tp = tp or local
-    dp = dp or n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != device_count {n}")
-    devices = np.array(jax.devices()).reshape(dp, tp)
-    return Mesh(devices, axis_names=("dp", "tp"))
+    tp = tp or local // sp or local
+    dp = dp or n // (sp * tp)
+    if dp * sp * tp != n:
+        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != device_count {n}")
+    devices = np.array(jax.devices()).reshape(dp, sp, tp)
+    return Mesh(devices, axis_names=("dp", "sp", "tp"))
 
 
 def pod_mapping(mesh: Mesh) -> Mapping:
-    return Mapping(dp=mesh.shape["dp"], tp=mesh.shape["tp"])
+    return Mapping(dp=mesh.shape["dp"], tp=mesh.shape["tp"],
+                   sp=mesh.shape.get("sp", 1))
 
 
 def is_scheduler_host() -> bool:

@@ -112,7 +112,11 @@ class GenerationSession:
         from jax.sharding import NamedSharding, PartitionSpec as P
         if mesh is None:
             return None
-        spec = P(None, None, "tp", None, None)  # heads over tp
+        # heads over tp; optionally S over sp (context-parallel decode)
+        sp_ax = ("sp" if (getattr(self.mapping, "sp", 1) > 1
+                          and getattr(self.mapping, "shard_kv_seq", False)
+                          and "sp" in mesh.axis_names) else None)
+        spec = P(None, None, "tp", sp_ax, None)
         return KVCache(NamedSharding(mesh, spec), NamedSharding(mesh, spec),
                        NamedSharding(mesh, P(None)))
 
@@ -147,9 +151,22 @@ class GenerationSession:
         inline_caches = self.mesh is None
         kv_scales = self.kv_scales
         max_len_cache = max_len
+        # Sequence parallelism: pin the prompt tokens to P(dp?, 'sp') so
+        # GSPMD spreads the whole prefill (embed/norm/MLP shard freely over
+        # seq; attention K/V get gathered over sp) across the sp axis.
+        mesh = self.mesh
+        mapping = self.mapping
+        sp_on = (mesh is not None and getattr(mapping, "sp", 1) > 1
+                 and "sp" in mesh.axis_names and bucket % mapping.sp == 0)
 
         def fn(params, input_ids, seq_lens, *rest):
             b = input_ids.shape[0]
+            if sp_on:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                dp_ax = ("dp" if (mapping.dp > 1 and b % mapping.dp == 0)
+                         else None)
+                input_ids = jax.lax.with_sharding_constraint(
+                    input_ids, NamedSharding(mesh, P(dp_ax, "sp")))
             if inline_caches:
                 # allocate the KV cache inside the jitted program: saves one
                 # host->device dispatch per request (~23 ms through the
