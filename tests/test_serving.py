@@ -292,3 +292,52 @@ def test_packed_prefill_per_request_sampling(tiny_setup):
     ref = offline.generate([p1], sampling=scfg, max_new_tokens=5)
     assert done[r1].output_ids == ref.output_ids[0].tolist()
     assert len(done[r2].output_ids) == 5
+
+
+def test_serving_chunked_prefill_matches_offline():
+    """Chunked-context admission (prefill_chunk): long prompts prefill C
+    tokens per engine step via forward_extend, interleaved with decode for
+    the other slots; tokens must still match the offline session exactly.
+    (The reference has no chunked context — its prefill is monolithic.)"""
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    ecfg = EngineConfig(max_batch_size=3, max_input_len=48, max_seq_len=64)
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(7)
+    # 40/33: chunked (3 chunks, final overlaps); 10: normal same-step admit
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (40, 33, 10)]
+    new_tokens = [6, 5, 8]
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                           prefill_chunk=16)
+    rids = [engine.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    done = engine.run_to_completion()
+    assert set(done) == set(rids)
+    offline = GenerationSession(cfg, params, ecfg)
+    for rid, p, n in zip(rids, prompts, new_tokens):
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=n)
+        assert done[rid].output_ids == ref.output_ids[0].tolist(), (
+            rid, done[rid].output_ids, ref.output_ids)
+
+
+def test_serving_chunked_prefill_interleaves_decode():
+    """While a long prompt is mid-prefill, already-running requests keep
+    decoding every step (the scheduling property chunking exists for)."""
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    ecfg = EngineConfig(max_batch_size=2, max_input_len=48, max_seq_len=64)
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(8)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=2,
+                           prefill_chunk=16)
+    short = engine.submit(rng.integers(3, 250, (6,)).tolist(), 12)
+    engine.step()                       # short is decoding
+    before = len(engine.poll(short))
+    long = engine.submit(rng.integers(3, 250, (40,)).tolist(), 4)
+    engine.step()                       # long: chunk 1 of 3 — short decodes
+    assert len(engine.poll(short)) > before          # decode not stalled
+    assert engine.poll(long) == []                   # still prefilling
+    engine.step()                       # chunk 2
+    engine.step()                       # final chunk -> first token sampled
+    assert len(engine.poll(long)) >= 1
+    done = engine.run_to_completion()
+    assert len(done[long].output_ids) == 4

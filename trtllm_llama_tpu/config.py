@@ -64,6 +64,12 @@ class ModelConfig:
     # reference models/gptj/model.py:22, gptneox/model.py:21). 0 = full
     # head_dim (LLaMA). Ignored by non-rotary families.
     rotary_dim: int = 0
+    # Long-context RoPE scaling (no reference analogue — its n_positions is
+    # a hard 2048): '' (off), 'linear' (position interpolation), 'ntk'
+    # (base stretch). max_position_embeddings should be set to the EXTENDED
+    # context length when scaling is on.
+    rope_scaling_type: str = ""
+    rope_scaling_factor: float = 1.0
     rms_norm_eps: float = 1e-6
     dtype: str = "bfloat16"         # activation/weight compute dtype
     quant_mode: QuantMode = QuantMode(0)
@@ -117,6 +123,19 @@ class ModelConfig:
             rms_norm_eps=hf_cfg.rms_norm_eps,
             tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
         )
+        rs = getattr(hf_cfg, "rope_scaling", None)
+        if rs:
+            kind = rs.get("rope_type", rs.get("type", ""))
+            factor = float(rs.get("factor", 1.0))
+            if kind == "linear":
+                d["rope_scaling_type"] = "linear"
+            elif kind in ("dynamic", "ntk"):
+                d["rope_scaling_type"] = "ntk"   # static-alpha approximation
+            if kind in ("linear", "dynamic", "ntk"):
+                d["rope_scaling_factor"] = factor
+                # the scaled table covers the extended window
+                d["max_position_embeddings"] = int(
+                    hf_cfg.max_position_embeddings * factor)
         d.update(over)
         return cls(**d)
 

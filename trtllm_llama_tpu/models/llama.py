@@ -298,7 +298,9 @@ def forward_prefill(params: Params, cfg: ModelConfig, input_ids, seq_lens,
     b, s = input_ids.shape
     x = embedding_lookup(params["embed"], input_ids, cfg.jnp_dtype)
     cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta)
+                              cfg.rope_theta,
+                              scaling_type=cfg.rope_scaling_type,
+                              scaling_factor=cfg.rope_scaling_factor)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = take_rope(cos_t, sin_t, positions)        # [B,S,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, seq_lens, False)
@@ -324,7 +326,9 @@ def forward_prefill_packed(params: Params, cfg: ModelConfig, token_ids,
     """
     x = embedding_lookup(params["embed"], token_ids, cfg.jnp_dtype)  # [T, D]
     cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta)
+                              cfg.rope_theta,
+                              scaling_type=cfg.rope_scaling_type,
+                              scaling_factor=cfg.rope_scaling_factor)
     cos, sin = take_rope(cos_t, sin_t, packed.pos_tok)               # [T,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, None, False,
                             packed)
@@ -348,7 +352,9 @@ def forward_extend(params: Params, cfg: ModelConfig, tokens, start,
     b, t = tokens.shape
     x = embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)  # [B, T, D]
     cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta)
+                              cfg.rope_theta,
+                              scaling_type=cfg.rope_scaling_type,
+                              scaling_factor=cfg.rope_scaling_factor)
     positions = start[:, None] + jnp.arange(t)[None]              # [B, T]
     cos, sin = take_rope(cos_t, sin_t, positions)                 # [B,T,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, None, False,
@@ -367,7 +373,9 @@ def forward_decode(params: Params, cfg: ModelConfig, tokens, positions,
     """
     x = embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)   # [B, D]
     cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta)
+                              cfg.rope_theta,
+                              scaling_type=cfg.rope_scaling_type,
+                              scaling_factor=cfg.rope_scaling_factor)
     cos, sin = take_rope(cos_t, sin_t, positions)                  # [B,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, positions, True)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

@@ -17,11 +17,24 @@ import jax.numpy as jnp
 
 
 def rope_table(max_len: int, head_dim: int, theta: float = 10000.0,
-               dtype=jnp.float32):
-    """Returns (cos, sin) each [max_len, head_dim]."""
+               dtype=jnp.float32, scaling_type: str = "",
+               scaling_factor: float = 1.0):
+    """Returns (cos, sin) each [max_len, head_dim].
+
+    Long-context scaling (beyond the reference, whose n_positions is a hard
+    2048 — examples/llama/build.py:123):
+      'linear' — position interpolation (HF rope_scaling 'linear'):
+                 positions divided by `scaling_factor`.
+      'ntk'    — NTK-aware base stretch: theta *= factor^(d/(d-2)) (the
+                 static-alpha form of HF's 'dynamic' scaling).
+    """
+    if scaling_type == "ntk" and scaling_factor != 1.0:
+        theta = theta * scaling_factor ** (head_dim / (head_dim - 2))
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
                                 / head_dim))
     t = jnp.arange(max_len, dtype=jnp.float32)
+    if scaling_type == "linear" and scaling_factor != 1.0:
+        t = t / scaling_factor
     freqs = jnp.outer(t, inv_freq)                       # [S, d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)       # [S, d]
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)

@@ -72,7 +72,8 @@ class ServingEngine:
                  paged: bool = False, block_size: int = 64,
                  num_blocks: Optional[int] = None,
                  per_request_sampling: bool = False,
-                 packed_prefill: bool = False):
+                 packed_prefill: bool = False,
+                 prefill_chunk: Optional[int] = None):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
@@ -95,6 +96,18 @@ class ServingEngine:
         # ONE flattened token stream regardless of length mix
         self.packed = (packed_prefill and not paged
                        and hasattr(model or llama, "forward_prefill_packed"))
+        # chunked-context admission: prompts longer than prefill_chunk are
+        # prefilled C tokens per engine step (via forward_extend at cache
+        # offsets), interleaved with decode chunks for the other slots — so
+        # one long prompt no longer stalls every in-flight request for a
+        # whole monolithic prefill. The final chunk overlaps backward to
+        # stay exactly C tokens (rewriting identical K/V), keeping one
+        # compiled shape and no pad-token cache writes. Dense cache only.
+        self.prefill_chunk = (int(prefill_chunk) if prefill_chunk
+                              and not paged and not self.packed else None)
+        if self.prefill_chunk is not None and self.prefill_chunk < 16:
+            raise ValueError("prefill_chunk must be >= 16")
+        self._partial: Dict[int, int] = {}    # request_id -> next chunk start
         if jax.default_backend() != "cpu":
             # mirror GenerationSession: hot matmuls through Pallas kernels
             from ..ops.linear import enable_pallas_kernels
@@ -292,10 +305,105 @@ class ServingEngine:
         finished.extend(self._register_prefilled(reqs, tokens))
         return finished
 
+    def _chunk_prefill_fn(self, nb: int):
+        """One C-token prefill chunk for nb partially-prefilled requests.
+
+        Chunked context (the reference leaves all prefill monolithic): each
+        call runs model.forward_extend over [nb, C] prompt slabs at per-row
+        cache offsets. The last row of a request's FINAL chunk is its last
+        prompt token, so its logits seed generation exactly like a full
+        prefill."""
+        cfg, scfg, model = self.cfg, self.scfg, self.model
+        per_request = self.per_request
+        nbi = jnp.arange(nb)
+
+        def fn(params, caches, ids, starts, slots, key, slot_params, counts):
+            view = type(caches)(caches.k[:, slots], caches.v[:, slots],
+                                caches.scale)
+            logits, view = model.forward_extend(params, cfg, ids, starts,
+                                                view)
+            k = caches.k.at[:, slots].set(view.k)
+            v = caches.v.at[:, slots].set(view.v)
+            last = logits[:, -1]
+            if per_request:
+                gp = jax.tree.map(lambda a: a[slots], slot_params)
+                tokens = sample_step_slots(last, gp, key, counts,
+                                           jnp.zeros((nb,), jnp.int32),
+                                           scfg.end_id)
+                counts = counts.at[nbi, tokens].add(1)
+            else:
+                tokens = sample_step(last, scfg, key)
+            return caches._replace(k=k, v=v), tokens, counts
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _advance_partials(self) -> List[FinishedRequest]:
+        """Advance every partially-prefilled request by one chunk (pow2
+        groups, one device call each). Final chunks overlap backward to stay
+        exactly C tokens — identical K/V is rewritten, no pad-position cache
+        writes — and their sampled token activates the slot."""
+        C = self.prefill_chunk
+        finished: List[FinishedRequest] = []
+        parts = sorted(self._partial.items())
+        while parts:
+            nb = _pow2_groups(len(parts), self.max_slots)[0]
+            batch, parts = parts[:nb], parts[nb:]
+            ids = np.full((nb, C), self.scfg.pad_id, np.int32)
+            starts = np.zeros((nb,), np.int32)
+            slots = np.full((nb,), self.trash_slot, np.int32)
+            counts = (np.zeros((nb, self.cfg.vocab_size), np.int32)
+                      if self.per_request else 0)
+            rows = []   # (i, req, is_last, start)
+            for i, (rid, st) in enumerate(batch):
+                req = self.scheduler.get(rid)
+                prompt = req.input_ids
+                st = min(st, len(prompt) - C)
+                ids[i] = prompt[st:st + C]
+                starts[i] = st
+                slots[i] = req.slot
+                is_last = st + C >= len(prompt)
+                if is_last and self.per_request:
+                    # penalty state needs full-prompt token counts
+                    np.add.at(counts[i], np.asarray(prompt, np.int64), 1)
+                rows.append((i, req, is_last, st))
+            fn = self._get(("chunk_prefill", nb), self._chunk_prefill_fn, nb)
+            slot_params = self.slot_params if self.per_request else 0
+            self.caches, tokens, counts = fn(
+                self.params, self.caches, jnp.asarray(ids),
+                jnp.asarray(starts), jnp.asarray(slots), self._next_key(),
+                slot_params,
+                jnp.asarray(counts) if self.per_request else 0)
+            tokens = np.asarray(tokens)
+            done_rows = [(i, req) for i, req, is_last, _ in rows if is_last]
+            if done_rows:
+                reqs = [r for _, r in done_rows]
+                toks = tokens[[i for i, _ in done_rows]]
+                if self.per_request:
+                    idx = jnp.asarray(
+                        np.array([i for i, _ in done_rows], np.int32))
+                    sl = jnp.asarray(
+                        np.array([r.slot for r in reqs], np.int32))
+                    self.slot_counts = self.slot_counts.at[sl].set(
+                        counts[idx])
+                finished.extend(self._register_prefilled(reqs, toks))
+                for _, req in done_rows:
+                    self._partial.pop(req.request_id, None)
+            for i, req, is_last, st in rows:
+                if not is_last:
+                    self._partial[req.request_id] = st + C
+        return finished
+
     def _decode_fn(self, n_steps: int):
         cfg, scfg, model = self.cfg, self.scfg, self.model
         per_request = self.per_request
         n_rows = self.n_rows
+        # Under chunked prefill, a slot can hold real (partial) prompt K/V
+        # while still inactive — the decode step must not stomp it. Inactive
+        # rows' write positions are pushed out of bounds; JAX scatters drop
+        # OOB updates (without chunking the stomp is harmless: inactive rows
+        # are fully rewritten by their next prefill insert).
+        guard_inactive = self.prefill_chunk is not None
+        smax = self.engine_cfg.max_seq_len
 
         def fn(params, caches, tokens, lens, active, gen, budget, key,
                slot_params, counts):
@@ -303,8 +411,10 @@ class ServingEngine:
 
             def body(i, state):
                 tokens, lens, caches, active, gen, out, counts = state
+                pos = (jnp.where(active, lens, smax) if guard_inactive
+                       else lens)
                 logits, caches = model.forward_decode(
-                    params, cfg, tokens, lens, caches)
+                    params, cfg, tokens, pos, caches)
                 sub = jax.random.fold_in(key, i)
                 if per_request:
                     nxt = sample_step_slots(logits, slot_params, sub,
@@ -402,6 +512,7 @@ class ServingEngine:
         in_flight = req is not None and req.state.name in ("PREFILL", "DECODE")
         self.scheduler.cancel(request_id)
         self._req_sampling.pop(request_id, None)
+        self._partial.pop(request_id, None)
         if in_flight and slot is not None:
             self._release_slot(slot)
 
@@ -461,6 +572,19 @@ class ServingEngine:
         finished: List[FinishedRequest] = []
 
         admitted = self.scheduler.admit()
+        if self.prefill_chunk is not None:
+            # long prompts go to the chunked path (one C-token slab per
+            # step, interleaved with decode); short ones prefill as usual
+            long = [r for r in admitted
+                    if len(r.input_ids) > self.prefill_chunk]
+            admitted = [r for r in admitted
+                        if len(r.input_ids) <= self.prefill_chunk]
+            for req in long:
+                self._partial[req.request_id] = 0
+                if self.per_request:
+                    scfg_i = self._req_sampling.get(req.request_id, self.scfg)
+                    self.slot_params = self.slot_params.set_slot(
+                        req.slot, scfg_i)
         if self.packed:
             if admitted:
                 finished.extend(self._admit_packed(admitted))
@@ -471,6 +595,8 @@ class ServingEngine:
                 by_bucket.setdefault(b, []).append(req)
             for bucket, group in sorted(by_bucket.items()):
                 finished.extend(self._admit_group(group, bucket))
+        if self._partial:
+            finished.extend(self._advance_partials())
 
         # host-side activity check: the scheduler already knows which
         # requests are in flight — asking the device (`slot_active.any()`)
@@ -479,13 +605,17 @@ class ServingEngine:
             return finished
 
         # chunk = enough steps for the request with the LARGEST remaining
-        # budget (each slot self-freezes at its own budget on device)
-        budgets = [r.max_new_tokens - len(r.output_ids)
-                   for r in self.scheduler.active_requests()]
+        # budget (each slot self-freezes at its own budget on device).
+        # Partially-prefilled requests are active in the scheduler but have
+        # no decode state yet — they neither drive the chunk size nor get
+        # tokens recorded.
+        decoding = [r for r in self.scheduler.active_requests()
+                    if r.request_id not in self._partial]
+        budgets = [r.max_new_tokens - len(r.output_ids) for r in decoding]
         chunk = min(self.decode_chunk, max(budgets)) if budgets else 0
         if chunk <= 0:
             return finished
-        slot_of = {r.slot: r for r in self.scheduler.active_requests()}
+        slot_of = {r.slot: r for r in decoding}
         if self.paged:
             # pre-allocate blocks for this chunk's writes, then refresh the
             # device block tables
