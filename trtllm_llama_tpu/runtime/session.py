@@ -54,6 +54,17 @@ class GenerationOutput:
     beam_ids: np.ndarray = None
     beam_lengths: np.ndarray = None
     beam_scores: np.ndarray = None
+    # generate(return_logprobs=True): [B, max_new] f32 — the MODEL's
+    # log-softmax probability of each emitted token (pre-penalty/-truncation,
+    # 0.0 past EOS). The reference's DynamicDecodeLayer cum_log_probs
+    # equivalent is cum_logprobs.
+    logprobs: np.ndarray = None
+
+    @property
+    def cum_logprobs(self):
+        if self.logprobs is None:
+            return None
+        return self.logprobs.sum(axis=-1)
 
 
 class GenerationSession:
@@ -131,7 +142,7 @@ class GenerationSession:
     # ------------------------------------------------------------------
     def _generate_fn(self, bucket: int, max_len: int, max_new: int,
                      scfg: SamplingConfig, use_penalties: bool,
-                     use_prompt: bool = False):
+                     use_prompt: bool = False, want_logprobs: bool = False):
         """Build the single jitted end-to-end generate function."""
         cfg = self.cfg
 
@@ -191,10 +202,16 @@ class GenerationSession:
             tail = (init_tail(input_ids, seq_lens) if tail_len
                     else jnp.zeros((b, 0), jnp.int32))
             key, sub = jax.random.split(key)
+            raw_logits = logits
             if scfg.bad_words:
                 logits = apply_bad_words(logits, tail, scfg.bad_words)
             tokens = sample_step(logits, scfg, sub, counts,
                                  jnp.zeros((b,), jnp.int32))
+            lp = jnp.zeros((b, max_new), jnp.float32)
+            if want_logprobs:
+                lsm = jax.nn.log_softmax(raw_logits.astype(jnp.float32), -1)
+                lp = lp.at[:, 0].set(
+                    jnp.take_along_axis(lsm, tokens[:, None], 1)[:, 0])
             if use_penalties:
                 counts = update_token_counts(counts, tokens)
             if tail_len:
@@ -213,15 +230,22 @@ class GenerationSession:
 
             def body(state):
                 (step, tokens, positions, caches, done, out, lengths, key,
-                 counts, tail) = state
+                 counts, tail, lp) = state
                 logits, caches = model.forward_decode(
                     params, cfg, tokens, positions, caches)
                 key, sub = jax.random.split(key)
                 gen_lens = jnp.full((b,), 0, jnp.int32) + step
+                raw_logits = logits
                 if scfg.bad_words:
                     logits = apply_bad_words(logits, tail, scfg.bad_words)
                 nxt = sample_step(logits, scfg, sub, counts, gen_lens)
                 nxt = jnp.where(done, scfg.pad_id, nxt)
+                if want_logprobs:
+                    lsm = jax.nn.log_softmax(
+                        raw_logits.astype(jnp.float32), -1)
+                    step_lp = jnp.take_along_axis(
+                        lsm, jnp.clip(nxt, 0, None)[:, None], 1)[:, 0]
+                    lp = lp.at[:, step].set(jnp.where(done, 0.0, step_lp))
                 if counts is not None:
                     counts = update_token_counts(
                         counts, jnp.where(done, 0, nxt))
@@ -235,40 +259,47 @@ class GenerationSession:
                 lengths = lengths + (~done).astype(jnp.int32)
                 positions = positions + (~done).astype(jnp.int32)
                 return (step + 1, nxt, positions, caches, new_done, out,
-                        lengths, key, counts, tail)
+                        lengths, key, counts, tail, lp)
 
             state = (jnp.int32(1), tokens, seq_lens, caches, done, out,
-                     lengths, key, counts, tail)
+                     lengths, key, counts, tail, lp)
             state = jax.lax.while_loop(cond, body, state)
-            (_, _, _, caches, _, out, lengths, _, _, _) = state
+            (_, _, _, caches, _, out, lengths, _, _, _, lp) = state
             if inline_caches:
-                return out, lengths
-            return out, lengths, caches
+                return out, lengths, lp
+            return out, lengths, lp, caches
 
         if inline_caches:
             return jax.jit(fn)
         return jax.jit(fn, donate_argnums=(3,))  # caches: in-place KV update
 
-    def _get_fn(self, bucket, max_len, max_new, scfg, use_prompt=False):
+    def _get_fn(self, bucket, max_len, max_new, scfg, use_prompt=False,
+                want_logprobs=False):
         use_penalties = (scfg.repetition_penalty != 1.0
                          or scfg.presence_penalty != 0.0
                          or scfg.frequency_penalty != 0.0)
-        key = (bucket, max_len, max_new, scfg, use_penalties, use_prompt)
+        key = (bucket, max_len, max_new, scfg, use_penalties, use_prompt,
+               want_logprobs)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._generate_fn(
-                bucket, max_len, max_new, scfg, use_penalties, use_prompt)
+                bucket, max_len, max_new, scfg, use_penalties, use_prompt,
+                want_logprobs)
         return self._fn_cache[key]
 
     # ------------------------------------------------------------------
     def generate(self, input_ids, seq_lens=None,
                  sampling: Optional[SamplingConfig] = None,
                  max_new_tokens: int = 32, seed: int = 0,
-                 prompt=None) -> GenerationOutput:
+                 prompt=None, return_logprobs: bool = False
+                 ) -> GenerationOutput:
         """input_ids: [B, S] numpy (right-padded with pad_id) or list of lists.
 
         prompt: optional models.gpt.PromptTuning — virtual-token ids
         (>= vocab_size) in input_ids select rows of prompt.table (the
-        reference's prompt_embedding_table/tasks inputs)."""
+        reference's prompt_embedding_table/tasks inputs).
+        return_logprobs: also return the model's log-softmax probability of
+        every emitted token (GenerationOutput.logprobs / .cum_logprobs —
+        the reference's DynamicDecodeLayer output_log_probs contract)."""
         scfg = sampling or SamplingConfig()
         if isinstance(input_ids, (list, tuple)):
             seq_lens = np.array([len(x) for x in input_ids], np.int32)
@@ -292,18 +323,22 @@ class GenerationSession:
                                        max_new_tokens, max_len)
 
         fn = self._get_fn(bucket, max_len, max_new_tokens, scfg,
-                          use_prompt=prompt is not None)
+                          use_prompt=prompt is not None,
+                          want_logprobs=return_logprobs)
         extra = (prompt,) if prompt is not None else ()
         if self.mesh is None:
-            out, lengths = fn(self.params, jnp.asarray(padded),
-                              jnp.asarray(seq_lens, jnp.int32),
-                              jax.random.PRNGKey(seed), *extra)
+            out, lengths, lp = fn(self.params, jnp.asarray(padded),
+                                  jnp.asarray(seq_lens, jnp.int32),
+                                  jax.random.PRNGKey(seed), *extra)
         else:
             caches = self.make_caches(b, max_len)
-            out, lengths, _ = fn(self.params, jnp.asarray(padded),
-                                 jnp.asarray(seq_lens, jnp.int32), caches,
-                                 jax.random.PRNGKey(seed), *extra)
-        return GenerationOutput(np.asarray(out), np.asarray(lengths))
+            out, lengths, lp, _ = fn(self.params, jnp.asarray(padded),
+                                     jnp.asarray(seq_lens, jnp.int32),
+                                     caches, jax.random.PRNGKey(seed),
+                                     *extra)
+        return GenerationOutput(
+            np.asarray(out), np.asarray(lengths),
+            logprobs=np.asarray(lp) if return_logprobs else None)
 
     def _generate_beam(self, padded, seq_lens, scfg: SamplingConfig,
                        max_new: int, max_len: int) -> GenerationOutput:
