@@ -14,6 +14,11 @@ Axis convention:
           additionally spread over chips). With `shard_kv_seq` the KV cache
           S axis is sharded too (distributed flash-decode: GSPMD reduces
           the attention over sp).
+  'pp'  — pipeline parallel: the layer stack sharded over stages
+          (reference has send/recv graph ops but pp_size=1 hardcoded,
+          runtime/generation.py:179 — never used). Stages exchange
+          activations with ppermute inside a shard_map pipeline
+          (parallel/pipeline.py), microbatched over the batch axis.
   'tp'  — tensor parallel (the reference's only axis)
 The PartitionSpec helpers below are the single source of truth for how every
 tensor in the engine is laid out.
@@ -35,6 +40,7 @@ class Mapping:
     dp: int = 1
     tp: int = 1
     sp: int = 1
+    pp: int = 1
     # Shard the KV cache sequence axis over 'sp' (context-parallel decode:
     # each sp shard holds an S/sp cache slab; attention scores psum/concat
     # over sp is GSPMD-inserted). Off by default — the scatter KV writes
@@ -43,15 +49,15 @@ class Mapping:
 
     @property
     def world_size(self) -> int:
-        return self.dp * self.sp * self.tp
+        return self.dp * self.pp * self.sp * self.tp
 
     def make_mesh(self, devices=None) -> Mesh:
         devices = np.asarray(devices if devices is not None else jax.devices())
         if devices.size < self.world_size:
             raise ValueError(
                 f"need {self.world_size} devices, have {devices.size}")
-        devices = devices.reshape(self.dp, self.sp, self.tp)
-        return Mesh(devices, axis_names=("dp", "sp", "tp"))
+        devices = devices.reshape(self.dp, self.pp, self.sp, self.tp)
+        return Mesh(devices, axis_names=("dp", "pp", "sp", "tp"))
 
     # ---- PartitionSpecs: the engine-wide sharding contract ----
     # Weight layouts follow the reference's column/row pattern

@@ -55,27 +55,31 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None,
-             sp: int = 1) -> Mesh:
+             sp: int = 1, pp: int = 1) -> Mesh:
     """Global mesh over all devices of all hosts.
 
     Defaults: 'tp' spans the devices of one host/slice (ICI-connected),
-    'dp' spans hosts (DCN). Pass tp/dp/sp to override (dp*sp*tp must equal
-    the global device count; sp*tp should divide the per-slice chip count so
-    the TP/SP collectives never cross DCN).
+    'dp' spans hosts (DCN). Pass tp/dp/sp/pp to override (dp*pp*sp*tp must
+    equal the global device count; sp*tp should divide the per-slice chip
+    count so the TP/SP collectives never cross DCN — 'pp' and 'dp' are the
+    axes meant to span slices, pipeline transfers and batch traffic being
+    the DCN-tolerant ones).
     """
     n = jax.device_count()
     local = max(jax.local_device_count(), 1)
     tp = tp or local // sp or local
-    dp = dp or n // (sp * tp)
-    if dp * sp * tp != n:
-        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != device_count {n}")
-    devices = np.array(jax.devices()).reshape(dp, sp, tp)
-    return Mesh(devices, axis_names=("dp", "sp", "tp"))
+    dp = dp or n // (pp * sp * tp)
+    if dp * pp * sp * tp != n:
+        raise ValueError(
+            f"dp*pp*sp*tp = {dp}*{pp}*{sp}*{tp} != device_count {n}")
+    devices = np.array(jax.devices()).reshape(dp, pp, sp, tp)
+    return Mesh(devices, axis_names=("dp", "pp", "sp", "tp"))
 
 
 def pod_mapping(mesh: Mesh) -> Mapping:
-    return Mapping(dp=mesh.shape["dp"], tp=mesh.shape["tp"],
-                   sp=mesh.shape.get("sp", 1))
+    shape = dict(mesh.shape)
+    return Mapping(dp=shape["dp"], tp=shape["tp"], sp=shape.get("sp", 1),
+                   pp=shape.get("pp", 1))
 
 
 def is_scheduler_host() -> bool:

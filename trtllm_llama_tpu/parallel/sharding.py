@@ -31,47 +31,61 @@ _COL_KEYS = ("wq", "wk", "wv", "w_gate", "w_up")
 _ROW_KEYS = ("wo", "w_down")
 
 
-def _leaf_spec(path, leaf) -> P:
+def _leaf_spec(path, leaf, pp: bool = False) -> P:
     keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     name = next((k for k in keys if k in _COL_KEYS + _ROW_KEYS
                  + ("embed", "lm_head")), None)
     field = keys[-1] if keys else None   # dataclass field for quant containers
+    # pipeline parallel: every stacked layer leaf ([L, ...]) shards its
+    # leading L axis over 'pp' (each stage holds only its own layers)
+    stacked = pp and "layers" in keys
+
+    def spec(*axes):
+        axes = list(axes)
+        if stacked and axes[0] is None:
+            axes[0] = "pp"
+        return P(*axes)
 
     nd = leaf.ndim
     if name in _COL_KEYS:
         if field in ("scale", "scale_w"):
             # per-channel [L, N] or grouped [L, K/g, N]: N is sharded
-            return P(*([None] * (nd - 1)), "tp")
+            return spec(*([None] * (nd - 1)), "tp")
         if field in ("scale_x", "scale_y"):
-            return P(*([None] * nd))
-        return P(*([None] * (nd - 1)), "tp")         # [L, K, N] col
+            return spec(*([None] * nd))
+        return spec(*([None] * (nd - 1)), "tp")       # [L, K, N] col
     if name in _ROW_KEYS:
         if field in ("scale", "scale_w"):
             if nd >= 3:                               # grouped [L, K/g, N]
-                return P(*([None] * (nd - 2)), "tp", None)
-            return P(*([None] * nd))                  # per-channel: replicated
+                return spec(*([None] * (nd - 2)), "tp", None)
+            return spec(*([None] * nd))               # per-channel: replicated
         if field in ("scale_x", "scale_y"):
-            return P(*([None] * nd))
-        return P(*([None] * (nd - 2)), "tp", None)    # [L, K, N] row
+            return spec(*([None] * nd))
+        return spec(*([None] * (nd - 2)), "tp", None)  # [L, K, N] row
     if name == "lm_head":
         return P(None, "tp")
+    if stacked:                                       # norms under layers
+        return spec(*([None] * nd))
     return P(*([None] * nd))                          # embed, norms: replicated
 
 
-def param_specs(params):
+def param_specs(params, pp: bool = False):
     """Pytree of PartitionSpecs matching the params structure."""
-    return jax.tree_util.tree_map_with_path(_leaf_spec, params)
+    import functools
+    return jax.tree_util.tree_map_with_path(
+        functools.partial(_leaf_spec, pp=pp), params)
 
 
 def param_shardings(cfg: ModelConfig, mesh, params=None):
     """NamedShardings for params. When params is None, returns a function
     applied lazily by jax.device_put via tree mapping on the real pytree."""
+    pp = dict(mesh.shape).get("pp", 1) > 1
     if params is None:
         def make(p):
-            specs = param_specs(p)
+            specs = param_specs(p, pp=pp)
             return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                                 is_leaf=lambda x: isinstance(x, P))
         return make
-    specs = param_specs(params)
+    specs = param_specs(params, pp=pp)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))

@@ -83,6 +83,8 @@ class GenerationSession:
         self.params = params
         if mesh is not None:
             self.params = self._shard_params(params, mesh)
+            if hasattr(self.model, "bind_mesh"):   # pipeline shim
+                self.model.bind_mesh(mesh)
         elif not os.environ.get("TLLM_NO_FUSE_QKV"):
             # single-device: fuse q/k/v into one matmul (HBM-peak launch vs
             # three half-rate ones; models/llama.fuse_qkv_params). Under TP
@@ -123,13 +125,16 @@ class GenerationSession:
         from jax.sharding import NamedSharding, PartitionSpec as P
         if mesh is None:
             return None
-        # heads over tp; optionally S over sp (context-parallel decode)
+        # heads over tp; optionally S over sp (context-parallel decode);
+        # layers over pp (each pipeline stage owns its layers' cache)
         sp_ax = ("sp" if (getattr(self.mapping, "sp", 1) > 1
                           and getattr(self.mapping, "shard_kv_seq", False)
                           and "sp" in mesh.axis_names) else None)
-        spec = P(None, None, "tp", sp_ax, None)
+        pp_ax = ("pp" if (getattr(self.mapping, "pp", 1) > 1
+                          and "pp" in mesh.axis_names) else None)
+        spec = P(pp_ax, None, "tp", sp_ax, None)
         return KVCache(NamedSharding(mesh, spec), NamedSharding(mesh, spec),
-                       NamedSharding(mesh, P(None)))
+                       NamedSharding(mesh, P(pp_ax)))
 
     def make_caches(self, batch: int, max_len: int) -> KVCache:
         caches = self.model.init_caches(self.cfg, batch, max_len,
