@@ -82,4 +82,4 @@ def test_sp_mesh_backward_compat():
     m = Mapping(dp=2, tp=4)
     assert m.world_size == 8
     mesh = m.make_mesh(np.array(jax.devices()[:8]))
-    assert dict(mesh.shape) == {"dp": 2, "pp": 1, "sp": 1, "tp": 4}
+    assert dict(mesh.shape) == {"dp": 2, "pp": 1, "sp": 1, "ep": 1, "tp": 4}

@@ -70,6 +70,10 @@ class ModelConfig:
     # context length when scaling is on.
     rope_scaling_type: str = ""
     rope_scaling_factor: float = 1.0
+    # Sparse MoE (Mixtral-family, models/moe.py; no reference analogue):
+    # 0 experts = dense MLP. experts_per_token = router top-k.
+    num_experts: int = 0
+    experts_per_token: int = 2
     rms_norm_eps: float = 1e-6
     dtype: str = "bfloat16"         # activation/weight compute dtype
     quant_mode: QuantMode = QuantMode(0)

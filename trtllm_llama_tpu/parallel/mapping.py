@@ -41,6 +41,10 @@ class Mapping:
     tp: int = 1
     sp: int = 1
     pp: int = 1
+    # expert parallel: MoE expert weights ([L, E, ...]) sharded over 'ep'
+    # on the E axis (models/moe.py); GSPMD turns the expert-summed combine
+    # einsum into a psum over ep. Non-MoE models ignore the axis.
+    ep: int = 1
     # Shard the KV cache sequence axis over 'sp' (context-parallel decode:
     # each sp shard holds an S/sp cache slab; attention scores psum/concat
     # over sp is GSPMD-inserted). Off by default — the scatter KV writes
@@ -49,15 +53,16 @@ class Mapping:
 
     @property
     def world_size(self) -> int:
-        return self.dp * self.pp * self.sp * self.tp
+        return self.dp * self.pp * self.sp * self.ep * self.tp
 
     def make_mesh(self, devices=None) -> Mesh:
         devices = np.asarray(devices if devices is not None else jax.devices())
         if devices.size < self.world_size:
             raise ValueError(
                 f"need {self.world_size} devices, have {devices.size}")
-        devices = devices.reshape(self.dp, self.pp, self.sp, self.tp)
-        return Mesh(devices, axis_names=("dp", "pp", "sp", "tp"))
+        devices = devices.reshape(self.dp, self.pp, self.sp, self.ep,
+                                  self.tp)
+        return Mesh(devices, axis_names=("dp", "pp", "sp", "ep", "tp"))
 
     # ---- PartitionSpecs: the engine-wide sharding contract ----
     # Weight layouts follow the reference's column/row pattern

@@ -55,7 +55,7 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None,
-             sp: int = 1, pp: int = 1) -> Mesh:
+             sp: int = 1, pp: int = 1, ep: int = 1) -> Mesh:
     """Global mesh over all devices of all hosts.
 
     Defaults: 'tp' spans the devices of one host/slice (ICI-connected),
@@ -67,19 +67,20 @@ def pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None,
     """
     n = jax.device_count()
     local = max(jax.local_device_count(), 1)
-    tp = tp or local // sp or local
-    dp = dp or n // (pp * sp * tp)
-    if dp * pp * sp * tp != n:
+    tp = tp or local // (sp * ep) or local
+    dp = dp or n // (pp * sp * ep * tp)
+    if dp * pp * sp * ep * tp != n:
         raise ValueError(
-            f"dp*pp*sp*tp = {dp}*{pp}*{sp}*{tp} != device_count {n}")
-    devices = np.array(jax.devices()).reshape(dp, pp, sp, tp)
-    return Mesh(devices, axis_names=("dp", "pp", "sp", "tp"))
+            f"dp*pp*sp*ep*tp = {dp}*{pp}*{sp}*{ep}*{tp} "
+            f"!= device_count {n}")
+    devices = np.array(jax.devices()).reshape(dp, pp, sp, ep, tp)
+    return Mesh(devices, axis_names=("dp", "pp", "sp", "ep", "tp"))
 
 
 def pod_mapping(mesh: Mesh) -> Mapping:
     shape = dict(mesh.shape)
     return Mapping(dp=shape["dp"], tp=shape["tp"], sp=shape.get("sp", 1),
-                   pp=shape.get("pp", 1))
+                   pp=shape.get("pp", 1), ep=shape.get("ep", 1))
 
 
 def is_scheduler_host() -> bool:

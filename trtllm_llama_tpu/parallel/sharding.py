@@ -31,7 +31,7 @@ _COL_KEYS = ("wq", "wk", "wv", "w_gate", "w_up")
 _ROW_KEYS = ("wo", "w_down")
 
 
-def _leaf_spec(path, leaf, pp: bool = False) -> P:
+def _leaf_spec(path, leaf, pp: bool = False, ep: bool = False) -> P:
     keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     name = next((k for k in keys if k in _COL_KEYS + _ROW_KEYS
                  + ("embed", "lm_head")), None)
@@ -39,11 +39,16 @@ def _leaf_spec(path, leaf, pp: bool = False) -> P:
     # pipeline parallel: every stacked layer leaf ([L, ...]) shards its
     # leading L axis over 'pp' (each stage holds only its own layers)
     stacked = pp and "layers" in keys
+    # expert parallel: MoE expert weights are [L, E, in, out] — 4D col/row
+    # leaves shard their E axis over 'ep' (models/moe.py)
+    expert = ep and "layers" in keys and leaf.ndim == 4
 
     def spec(*axes):
         axes = list(axes)
         if stacked and axes[0] is None:
             axes[0] = "pp"
+        if expert and len(axes) >= 2 and axes[1] is None:
+            axes[1] = "ep"
         return P(*axes)
 
     nd = leaf.ndim
@@ -69,23 +74,25 @@ def _leaf_spec(path, leaf, pp: bool = False) -> P:
     return P(*([None] * nd))                          # embed, norms: replicated
 
 
-def param_specs(params, pp: bool = False):
+def param_specs(params, pp: bool = False, ep: bool = False):
     """Pytree of PartitionSpecs matching the params structure."""
     import functools
     return jax.tree_util.tree_map_with_path(
-        functools.partial(_leaf_spec, pp=pp), params)
+        functools.partial(_leaf_spec, pp=pp, ep=ep), params)
 
 
 def param_shardings(cfg: ModelConfig, mesh, params=None):
     """NamedShardings for params. When params is None, returns a function
     applied lazily by jax.device_put via tree mapping on the real pytree."""
-    pp = dict(mesh.shape).get("pp", 1) > 1
+    shape = dict(mesh.shape)
+    pp = shape.get("pp", 1) > 1
+    ep = shape.get("ep", 1) > 1
     if params is None:
         def make(p):
-            specs = param_specs(p, pp=pp)
+            specs = param_specs(p, pp=pp, ep=ep)
             return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                                 is_leaf=lambda x: isinstance(x, P))
         return make
-    specs = param_specs(params, pp=pp)
+    specs = param_specs(params, pp=pp, ep=ep)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
