@@ -111,3 +111,39 @@ def test_run_speculative_cli(tiny_ckpt, tmp_path):
                    "--max_output_len", "8", "--max_input_len", "16")
     get = lambda s: [ln for ln in s.splitlines() if ln.startswith("Output:")]
     assert get(spec) == get(plain)
+
+
+@pytest.fixture(scope="module")
+def tiny_mixtral_ckpt(tmp_path_factory, tiny_ckpt):
+    """Tiny on-disk HF Mixtral checkpoint (tokenizer copied from tiny_ckpt)."""
+    import shutil
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    d = tmp_path_factory.mktemp("mixtral_ckpt")
+    torch.manual_seed(0)
+    cfg = MixtralConfig(vocab_size=256, hidden_size=64, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, num_local_experts=4,
+                        num_experts_per_tok=2, max_position_embeddings=256)
+    MixtralForCausalLM(cfg).save_pretrained(d)
+    for f in os.listdir(tiny_ckpt):
+        if "token" in f or f in ("special_tokens_map.json",):
+            shutil.copy(os.path.join(tiny_ckpt, f), os.path.join(str(d), f))
+    return str(d)
+
+
+def test_convert_run_mixtral(tiny_mixtral_ckpt, tmp_path):
+    """Family auto-detection: a Mixtral checkpoint converts into an engine
+    dir tagged architecture=mixtral and run.py serves it via models/moe."""
+    eng = str(tmp_path / "engine")
+    out = run_cli("convert_checkpoint.py", "--model_dir", tiny_mixtral_ckpt,
+                  "--output_dir", eng, "--dtype", "float32")
+    assert "engine written" in out
+    cfg = json.load(open(os.path.join(eng, "config.json")))["model_config"]
+    assert cfg["architecture"] == "mixtral" and cfg["num_experts"] == 4
+    out = run_cli("run.py", "--engine_dir", eng,
+                  "--tokenizer_dir", tiny_mixtral_ckpt,
+                  "--input_text", "the quick brown fox",
+                  "--max_output_len", "8", "--max_input_len", "16")
+    assert "Output:" in out

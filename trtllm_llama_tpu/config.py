@@ -74,6 +74,11 @@ class ModelConfig:
     # 0 experts = dense MLP. experts_per_token = router top-k.
     num_experts: int = 0
     experts_per_token: int = 2
+    # Model family tag recorded in the engine dir so the runtimes pick the
+    # right forward functions (models.by_architecture). The reference
+    # splits this across per-model example dirs + engine config.json
+    # (builder.py:260).
+    architecture: str = "llama"
     rms_norm_eps: float = 1e-6
     dtype: str = "bfloat16"         # activation/weight compute dtype
     quant_mode: QuantMode = QuantMode(0)

@@ -84,11 +84,31 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
 
 
 def convert_hf_checkpoint(model_dir: str, out_dir: str, **kwargs):
-    """Load a HF checkpoint from disk and convert (CLI entry)."""
-    import torch
-    from transformers import AutoTokenizer, LlamaForCausalLM
+    """Load a HF checkpoint from disk and convert (CLI entry).
 
+    The family is auto-detected from the HF config: LLaMA (full quant
+    pipeline) or Mixtral MoE (fp weights; expert quantization not wired
+    yet)."""
+    import torch
+    from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
+
+    arch = (getattr(AutoConfig.from_pretrained(model_dir),
+                    "architectures", None) or ["Llama"])[0]
+    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    if "mixtral" in arch.lower():
+        from transformers import MixtralForCausalLM
+        from .hf_moe import config_from_hf, params_from_hf_model
+        if int(kwargs.get("quant_mode", QuantMode.NONE)):
+            raise ValueError("Mixtral conversion is fp-only for now "
+                             "(expert-weight quantization not wired)")
+        model = MixtralForCausalLM.from_pretrained(
+            model_dir, torch_dtype=torch.float32, low_cpu_mem_usage=True)
+        cfg = config_from_hf(model.config,
+                             dtype=kwargs.get("dtype", "bfloat16"))
+        params = params_from_hf_model(model, cfg)
+        os.makedirs(out_dir, exist_ok=True)
+        save_engine(out_dir, cfg, params, None)
+        return cfg
     model = LlamaForCausalLM.from_pretrained(
         model_dir, torch_dtype=torch.float32, low_cpu_mem_usage=True)
-    tokenizer = AutoTokenizer.from_pretrained(model_dir)
     return convert_hf_model(model, tokenizer, out_dir, **kwargs)

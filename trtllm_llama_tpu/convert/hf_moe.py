@@ -17,7 +17,8 @@ from .hf import _n, _t
 def config_from_hf(hf_cfg, **over) -> ModelConfig:
     return ModelConfig.from_hf_config(
         hf_cfg, num_experts=hf_cfg.num_local_experts,
-        experts_per_token=hf_cfg.num_experts_per_tok, **over)
+        experts_per_token=hf_cfg.num_experts_per_tok,
+        architecture="mixtral", **over)
 
 
 def params_from_hf_model(hf_model, cfg: ModelConfig, dtype=None):

@@ -78,7 +78,12 @@ class ServingEngine:
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
         self.cfg = cfg
-        self.model = model if model is not None else llama
+        if model is not None:
+            self.model = model
+        else:
+            from ..models import by_architecture
+            self.model = by_architecture(getattr(cfg, "architecture",
+                                                 "llama"))
         self.params = params
         if not os.environ.get("TLLM_NO_FUSE_QKV"):
             fuse = getattr(self.model, "fuse_qkv_params", None)

@@ -75,7 +75,12 @@ class GenerationSession:
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()   # TRT-engine-file analogue (VERDICT #7)
         self.cfg = cfg
-        self.model = model if model is not None else llama
+        if model is not None:
+            self.model = model
+        else:
+            from ..models import by_architecture
+            self.model = by_architecture(getattr(cfg, "architecture",
+                                                 "llama"))
         self.engine_cfg = engine_cfg
         self.mapping = mapping or Mapping()
         self.mesh = mesh

@@ -66,8 +66,14 @@ class SpeculativeSession:
         self.draft_cfg = draft_cfg
         self.engine_cfg = engine_cfg
         self.gamma = int(gamma)
-        self.model = model if model is not None else llama
-        self.draft_model = draft_model if draft_model is not None else llama
+        from ..models import by_architecture
+        self.model = (model if model is not None
+                      else by_architecture(getattr(cfg, "architecture",
+                                                   "llama")))
+        self.draft_model = (draft_model if draft_model is not None
+                            else by_architecture(
+                                getattr(draft_cfg, "architecture",
+                                        "llama")))
         self.kv_scales = kv_scales
         self.draft_kv_scales = draft_kv_scales
         self.params = params
