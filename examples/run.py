@@ -33,7 +33,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--draft_engine_dir", default=None,
                    help="engine dir of a small draft model: enables "
-                        "speculative decoding (greedy-only)")
+                        "speculative decoding (greedy bit-exact; "
+                        "temperature/top-k/top-p via rejection sampling)")
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative proposals per iteration")
     return p.parse_args()

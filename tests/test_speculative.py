@@ -75,12 +75,70 @@ def test_eos_truncation(setup, end_id):
     np.testing.assert_array_equal(got.lengths, ref.lengths)
 
 
-def test_stochastic_config_rejected(setup):
+def test_penalties_rejected(setup):
     params, dparams, _, prompts = setup
     spec = SpeculativeSession(CFG, params, DCFG, dparams, ECFG)
-    with pytest.raises(ValueError, match="greedy-only"):
-        spec.generate(prompts, sampling=SamplingConfig(top_k=5),
+    with pytest.raises(ValueError, match="not supported"):
+        spec.generate(prompts,
+                      sampling=SamplingConfig(repetition_penalty=1.3),
                       max_new_tokens=4)
+
+
+def _tv(h1, h2):
+    """Total-variation distance between two empirical histograms."""
+    p = h1 / h1.sum()
+    q = h2 / h2.sum()
+    return 0.5 * np.abs(p - q).sum()
+
+
+def _tv_noise(h1, h2):
+    """Expected TV between two SIZE-B empirical draws of the same
+    distribution: E[TV] ~ 0.5*sqrt(4/(pi*B)) * sum_i sqrt(p_i)
+    <= 0.5*sqrt(4S/(pi*B)) for support size S. Returns a 2.5x bound."""
+    b = h1.sum()
+    p = (h1 + h2) / (h1.sum() + h2.sum())
+    return 2.5 * 0.5 * np.sqrt(4 / (np.pi * b)) * np.sqrt(p).sum()
+
+
+def test_stochastic_matches_target_distribution(setup):
+    """Rejection-sampling speculative decoding must emit tokens distributed
+    exactly as vanilla sampling from the target (Leviathan Thm. 1). Checked
+    empirically: B iid rows of the same prompt, compare per-step marginal
+    histograms vs GenerationSession sampling. The draft is a mismatched
+    random model, so rejections + residual resampling genuinely occur."""
+    params, dparams, base, _ = setup
+    scfg = SamplingConfig(end_id=-1, top_k=8, temperature=0.8)
+    B = 4096
+    prompt = np.tile(np.array([[7, 23, 101, 55, 200]], np.int32), (B, 1))
+
+    spec = SpeculativeSession(CFG, params, DCFG, dparams, ECFG, gamma=3)
+    got = spec.generate(prompt, sampling=scfg, max_new_tokens=3, seed=5)
+    ref = base.generate(prompt, sampling=scfg, max_new_tokens=3, seed=11)
+
+    for step in range(3):
+        h_got = np.bincount(got.output_ids[:, step], minlength=256)
+        h_ref = np.bincount(ref.output_ids[:, step], minlength=256)
+        thr = max(0.05, _tv_noise(h_got, h_ref))
+        assert _tv(h_got, h_ref) < thr, (step, _tv(h_got, h_ref), thr)
+
+
+def test_stochastic_self_draft_all_accept(setup):
+    """draft == target: acceptance probability is exactly 1 (p == q), so
+    every iteration commits γ+1 tokens; outputs stay correctly distributed
+    and lengths fill the budget."""
+    params, _, base, _ = setup
+    scfg = SamplingConfig(end_id=-1, top_k=8, temperature=0.9)
+    B = 2048
+    prompt = np.tile(np.array([[9, 41, 3, 77]], np.int32), (B, 1))
+    spec = SpeculativeSession(CFG, params, CFG, params, ECFG, gamma=4)
+    got = spec.generate(prompt, sampling=scfg, max_new_tokens=4, seed=3)
+    ref = base.generate(prompt, sampling=scfg, max_new_tokens=4, seed=7)
+    assert (got.lengths == 4).all()
+    for step in range(4):
+        h_got = np.bincount(got.output_ids[:, step], minlength=256)
+        h_ref = np.bincount(ref.output_ids[:, step], minlength=256)
+        thr = max(0.05, _tv_noise(h_got, h_ref))
+        assert _tv(h_got, h_ref) < thr, (step, _tv(h_got, h_ref), thr)
 
 
 def test_vocab_mismatch_rejected(setup):

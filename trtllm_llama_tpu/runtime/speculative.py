@@ -20,10 +20,17 @@ Greedy two-model speculative decoding (Leviathan et al. 2023, greedy case):
        EOS truncation, and budget capping are all in-graph — the host sees
        only the final (output_ids, lengths).
 
-Greedy-only by design: acceptance compares argmaxes, so the output is
-bit-identical to GenerationSession's greedy decode whenever argmax ties
-don't flip (exactness property of speculative decoding). Stochastic
-rejection sampling is a possible extension; stochastic configs raise.
+Two acceptance modes, resolved at trace time from the SamplingConfig:
+- greedy: acceptance compares argmaxes — output bit-identical to
+  GenerationSession's greedy decode (whenever argmax ties don't flip);
+- stochastic (temperature / top-k / top-p): full rejection sampling
+  (Leviathan et al. 2023 Alg. 1): proposal x_i ~ q_i accepted with
+  probability min(1, p_i(x_i)/q_i(x_i)); the first rejected slot
+  resamples from norm(max(p_i - q_i, 0)); full acceptance samples the
+  bonus from p_{γ+1} (the same code path — the bonus slot has q = 0, so
+  the clipped residual IS p). The emitted sequence is distributed
+  EXACTLY as vanilla sampling from the target (the speculative
+  guarantee), which tests/test_speculative.py checks empirically.
 
 Why this matters on TPU: single-stream decode is HBM-bound on target
 weights. Each accepted token amortizes one full weight read across
@@ -41,9 +48,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, ModelConfig
-from ..models import llama
-from .sampling import SamplingConfig
+from ..models import llama  # noqa: F401  (default family fallback)
+from .sampling import SamplingConfig, apply_top_k, apply_top_p
 from .session import GenerationOutput
+
+
+def _transform(logits, scfg: SamplingConfig):
+    """The same logits shaping sample_step applies (temperature/top-k/top-p)
+    — p and q in the rejection test must be the ACTUAL sampling
+    distributions, not the raw model softmaxes."""
+    logits = logits.astype(jnp.float32)
+    if scfg.temperature != 1.0:
+        logits = logits / scfg.temperature
+    if scfg.top_k > 1:
+        logits = apply_top_k(logits, scfg.top_k)
+    if scfg.top_p > 0.0:
+        logits = apply_top_p(logits, scfg.top_p)
+    return logits
 
 
 class SpeculativeSession:
@@ -100,7 +121,10 @@ class SpeculativeSession:
         # the verify slab reaches position (prompt + generated - 1) + γ
         max_len = bucket + max_new + gamma + 1
 
-        def fn(params_t, params_d, input_ids, seq_lens):
+        stochastic = not scfg.is_greedy
+        v = cfg.vocab_size
+
+        def fn(params_t, params_d, input_ids, seq_lens, key):
             b = input_ids.shape[0]
             bidx = jnp.arange(b)
             caches_t = model.init_caches(cfg, b, max_len, kv_s)
@@ -110,7 +134,12 @@ class SpeculativeSession:
                 params_t, cfg, input_ids, seq_lens, caches_t)
             _, caches_d = dmodel.forward_prefill(
                 params_d, dcfg, input_ids, seq_lens, caches_d)
-            g1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if stochastic:
+                key, k0 = jax.random.split(key)
+                g1 = jax.random.categorical(
+                    k0, _transform(logits, scfg), axis=-1).astype(jnp.int32)
+            else:
+                g1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             out = jnp.full((b, max_new), pad_id, jnp.int32).at[:, 0].set(g1)
             lengths = jnp.ones((b,), jnp.int32)
             done = (g1 == end_id) | (max_new <= 1)
@@ -127,30 +156,45 @@ class SpeculativeSession:
                 return (it < max_new) & ~jnp.all(done)
 
             def body(st):
-                it, out, lengths, done, draft_pos, caches_t, caches_d = st
+                (it, out, lengths, done, draft_pos, caches_t, caches_d,
+                 key) = st
                 p_new = seq_lens + lengths       # position after committed
+                key, k_draft, k_acc, k_res = jax.random.split(key, 4)
 
                 # -- 1. draft: γ+1 sequential steps from draft_pos ---------
                 def dbody(j, dst):
-                    caches_d, prev, props = dst
+                    caches_d, prev, props, qprobs = dst
                     q = draft_pos + j
                     inp = jnp.where(q < p_new, committed_at(out, q), prev)
                     qc = jnp.minimum(q, max_len - 1)   # frozen rows stay put
                     lgd, caches_d = dmodel.forward_decode(
                         params_d, dcfg, inp, qc, caches_d)
-                    samp = jnp.argmax(lgd, axis=-1).astype(jnp.int32)
+                    if stochastic:
+                        tl = _transform(lgd, scfg)
+                        samp = jax.random.categorical(
+                            jax.random.fold_in(k_draft, j), tl,
+                            axis=-1).astype(jnp.int32)
+                        qp = jax.nn.softmax(tl, axis=-1)       # [B, V]
+                    else:
+                        samp = jnp.argmax(lgd, axis=-1).astype(jnp.int32)
+                        qp = None
                     # this step predicts position q+1 -> proposal slot i
                     i = q + 1 - p_new
                     ok = (i >= 0) & (i < gamma)
                     ic = jnp.clip(i, 0, gamma - 1)
                     props = props.at[bidx, ic].set(
                         jnp.where(ok, samp, props[bidx, ic]))
-                    return caches_d, samp, props
+                    if stochastic:
+                        qprobs = qprobs.at[bidx, ic].set(
+                            jnp.where(ok[:, None], qp, qprobs[bidx, ic]))
+                    return caches_d, samp, props, qprobs
 
                 props0 = jnp.full((b, gamma), pad_id, jnp.int32)
-                caches_d, _, props = jax.lax.fori_loop(
+                q0 = (jnp.zeros((b, gamma, v), jnp.float32) if stochastic
+                      else jnp.zeros((b, 1, 1), jnp.float32))
+                caches_d, _, props, qprobs = jax.lax.fori_loop(
                     0, gamma + 1, dbody,
-                    (caches_d, jnp.zeros((b,), jnp.int32), props0))
+                    (caches_d, jnp.zeros((b,), jnp.int32), props0, q0))
 
                 # -- 2. target verify: one extend over [last, props] -------
                 last = committed_at(out, p_new - 1)
@@ -158,17 +202,45 @@ class SpeculativeSession:
                 start = jnp.minimum(p_new - 1, max_len - gamma - 1)
                 lg, caches_t = model.forward_extend(
                     params_t, cfg, ver, start, caches_t)
-                g = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, γ+1]
 
-                # -- 3. accept longest matching prefix + bonus token -------
-                match = props == g[:, :gamma]
-                n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), 1), 1)
                 i_idx = jnp.arange(gamma + 1)[None]
-                bonus = jnp.take_along_axis(g, n[:, None], 1)
+                if stochastic:
+                    # -- 3a. rejection sampling (Leviathan Alg. 1) ---------
+                    pprobs = jax.nn.softmax(_transform(lg, scfg), -1)
+                    p_x = jnp.take_along_axis(
+                        pprobs[:, :gamma], props[..., None], -1)[..., 0]
+                    q_x = jnp.take_along_axis(
+                        qprobs, props[..., None], -1)[..., 0]
+                    u = jax.random.uniform(k_acc, (b, gamma))
+                    accept = u * jnp.maximum(q_x, 1e-20) < p_x  # [B, γ]
+                    n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), 1), 1)
+                    # replacement at slot n: norm(max(p_n - q_n, 0)); the
+                    # full-acceptance bonus is the same formula with q=0
+                    p_n = jnp.take_along_axis(
+                        pprobs, n[:, None, None], 1)[:, 0]        # [B, V]
+                    q_ext = jnp.concatenate(
+                        [qprobs, jnp.zeros((b, 1, v), jnp.float32)], 1)
+                    q_n = jnp.take_along_axis(
+                        q_ext, n[:, None, None], 1)[:, 0]
+                    resid = jnp.maximum(p_n - q_n, 0.0)
+                    # numerical guard: if p <= q everywhere (p == q), any
+                    # sample from p is correct
+                    resid = jnp.where(
+                        resid.sum(-1, keepdims=True) > 1e-12, resid, p_n)
+                    repl = jax.random.categorical(
+                        k_res, jnp.where(resid > 0, jnp.log(resid), -1e30),
+                        axis=-1).astype(jnp.int32)
+                    slot_n = repl[:, None]
+                else:
+                    # -- 3b. greedy: longest argmax-matching prefix --------
+                    g = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B,γ+1]
+                    match = props == g[:, :gamma]
+                    n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), 1), 1)
+                    slot_n = jnp.take_along_axis(g, n[:, None], 1)
                 props_ext = jnp.concatenate(
                     [props, jnp.zeros((b, 1), jnp.int32)], 1)
                 slab = jnp.where(i_idx < n[:, None], props_ext,
-                                 jnp.where(i_idx == n[:, None], bonus,
+                                 jnp.where(i_idx == n[:, None], slot_n,
                                            pad_id))
                 room = (max_new - lengths)[:, None]
                 valid = ((i_idx <= n[:, None]) & (i_idx < room)
@@ -191,10 +263,10 @@ class SpeculativeSession:
                     done, draft_pos,
                     jnp.minimum(p_new + n, draft_pos + gamma + 1))
                 return (it + 1, out, new_lengths, new_done, draft_pos,
-                        caches_t, caches_d)
+                        caches_t, caches_d, key)
 
             st = (jnp.int32(1), out, lengths, done, draft_pos,
-                  caches_t, caches_d)
+                  caches_t, caches_d, key)
             st = jax.lax.while_loop(cond, body, st)
             return st[1], st[2]
 
@@ -204,15 +276,12 @@ class SpeculativeSession:
     def generate(self, input_ids, seq_lens=None,
                  sampling: Optional[SamplingConfig] = None,
                  max_new_tokens: int = 32, seed: int = 0) -> GenerationOutput:
-        """Greedy speculative generation; same contract as
+        """Speculative generation; same contract as
         GenerationSession.generate (list-of-lists or padded [B, S]).
-        `seed` is accepted for API parity but unused — the greedy path is
-        deterministic."""
+        Greedy configs are bit-exact vs vanilla greedy decode; stochastic
+        configs (temperature/top-k/top-p) use rejection sampling and emit
+        tokens distributed exactly as vanilla sampling from the target."""
         scfg = sampling or SamplingConfig()
-        if not scfg.is_greedy:
-            raise ValueError("SpeculativeSession is greedy-only (acceptance "
-                             "compares argmaxes); use GenerationSession for "
-                             "stochastic sampling")
         if scfg.bad_words or scfg.stop_words or (
                 scfg.repetition_penalty != 1.0 or scfg.presence_penalty
                 or scfg.frequency_penalty):
@@ -233,10 +302,11 @@ class SpeculativeSession:
         padded = np.full((b, bucket), scfg.pad_id, np.int32)
         padded[:, :s] = input_ids
 
-        key = (bucket, b, max_new_tokens, scfg)
-        if key not in self._fn_cache:
-            self._fn_cache[key] = self._spec_fn(bucket, max_new_tokens, scfg)
-        out, lengths = self._fn_cache[key](
+        fkey = (bucket, b, max_new_tokens, scfg)
+        if fkey not in self._fn_cache:
+            self._fn_cache[fkey] = self._spec_fn(bucket, max_new_tokens,
+                                                 scfg)
+        out, lengths = self._fn_cache[fkey](
             self.params, self.draft_params, jnp.asarray(padded),
-            jnp.asarray(seq_lens, jnp.int32))
+            jnp.asarray(seq_lens, jnp.int32), jax.random.PRNGKey(seed))
         return GenerationOutput(np.asarray(out), np.asarray(lengths))
