@@ -139,12 +139,14 @@ def serving_bench(config_name: str):
         from trtllm_llama_tpu.ops.registry import KERNELS
         KERNELS["paged_attn_mode"] = pmode
     packed = bool(int(os.environ.get("BENCH_PACKED", "0")))
+    pchunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "0")) or None
     eng = ServingEngine(cfg, params, ecfg,
                         sampling=SamplingConfig(end_id=-1),
                         decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")),
                         paged=paged,
                         block_size=int(os.environ.get("BENCH_BLOCK", "64")),
-                        packed_prefill=packed)
+                        packed_prefill=packed,
+                        prefill_chunk=pchunk)
     rng = np.random.default_rng(0)
     # warm the compile paths the measured run will hit: a single request
     # (nb=1 prefill) and a full-slot wave (nb=slots prefill + decode chunk)
@@ -167,10 +169,73 @@ def serving_bench(config_name: str):
         "metric": f"serving throughput (LLaMA-7B {config_name}, "
                   f"{slots} slots, {n_req} reqs, in{in_len} out{out_len}"
                   + (", paged" if paged else "")
-                  + (", packed" if packed else "") + ")",
+                  + (", packed" if packed else "")
+                  + (f", chunked{pchunk}" if pchunk else "") + ")",
         "value": round(total_tokens / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching
+    })
+
+
+def speculative_bench(config_name: str):
+    """BENCH_MODE=speculative: two-model speculative decode throughput.
+
+    Random weights mean a real small draft would almost never match the
+    target (acceptance ~ 1/V), so the measurable, honest configurations
+    are: BENCH_DRAFT=self (draft == target: 100% acceptance — the γ+1
+    dispatch-amortization UPPER BOUND) and BENCH_DRAFT=random (≈0%
+    acceptance — the verify-overhead LOWER BOUND). Real-draft numbers land
+    between, weighted by the measured acceptance rate of an actual
+    checkpoint pair."""
+    from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import (
+        init_random_quantized_params,
+    )
+    from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+    from trtllm_llama_tpu.runtime.speculative import SpeculativeSession
+
+    in_len = int(os.environ.get("BENCH_IN", "8"))
+    out_len = int(os.environ.get("BENCH_OUT", "50"))
+    gamma = int(os.environ.get("BENCH_GAMMA", "4"))
+    draft_kind = os.environ.get("BENCH_DRAFT", "self")
+    qm = {"int8": QuantMode.use_weight_only(False),
+          "int4": QuantMode.use_weight_only(True, per_group=True),
+          "fp16": QuantMode(0)}[config_name]
+    group = 128 if config_name == "int4" else 0
+    cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group)
+    params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm,
+                                          group)
+    if draft_kind == "self":
+        dcfg, dparams = cfg, params
+    else:   # a LLaMA-160M-shaped random draft
+        dcfg = ModelConfig(vocab_size=cfg.vocab_size, hidden_size=768,
+                           intermediate_size=2048, num_layers=12,
+                           num_heads=12, num_kv_heads=12, head_dim=64)
+        from trtllm_llama_tpu.models import llama as _llama
+        dparams = _llama.init_params(dcfg, jax.random.PRNGKey(1))
+    sess = SpeculativeSession(
+        cfg, params, dcfg, dparams,
+        EngineConfig(max_input_len=max(16, in_len),
+                     max_seq_len=in_len + out_len + gamma + 18),
+        gamma=gamma)
+    ids = np.random.default_rng(0).integers(3, cfg.vocab_size, (1, in_len))
+    scfg = SamplingConfig(end_id=-1)
+
+    sess.generate(ids, max_new_tokens=out_len, sampling=scfg)   # compile
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        sess.generate(ids, max_new_tokens=out_len, sampling=scfg)
+    dt = (time.perf_counter() - t0) / n_runs
+    _emit({
+        "metric": f"speculative tokens/sec/chip (LLaMA-7B {config_name}, "
+                  f"draft={draft_kind}, gamma={gamma}, bs1 in{in_len} "
+                  f"out{out_len})",
+        "value": round(out_len / dt, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round((out_len / dt)
+                             / _BASELINE_TOKS_PER_S[config_name], 3),
     })
 
 
@@ -272,6 +337,8 @@ def main():
         try:
             if mode == "serving":
                 serving_bench(config_name)
+            elif mode == "speculative":
+                speculative_bench(config_name)
             else:
                 latency_bench(config_name)
             if timer is not None:
