@@ -117,3 +117,46 @@ def test_moe_ep_sharded_matches_single_device(mapping):
                             mesh=mesh).generate(
         ids, max_new_tokens=8, sampling=SCFG)
     np.testing.assert_array_equal(out.output_ids, ref.output_ids)
+
+
+def test_moe_int8_weight_only():
+    """int8-wo expert stacks: int8 einsum + post-dot per-channel scales is
+    mathematically identical to dequantize-then-dot; generations match the
+    explicitly-dequantized engine exactly and logits stay close to fp."""
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import quantize_params
+    from trtllm_llama_tpu.quantization.tensors import WOQWeight
+
+    cfg_fp = ModelConfig.tiny(dtype="float32", num_experts=4,
+                              experts_per_token=2, intermediate_size=64)
+    params = moe.init_params(cfg_fp, jax.random.PRNGKey(0))
+    qm = QuantMode.use_weight_only(False)
+    cfg_q = ModelConfig.tiny(dtype="float32", num_experts=4,
+                             experts_per_token=2, intermediate_size=64,
+                             quant_mode=qm)
+    qparams = quantize_params(params, qm)
+    assert isinstance(qparams["layers"]["w_gate"], WOQWeight)
+    assert qparams["layers"]["w_gate"].qweight.ndim == 4
+
+    # explicit dequantization reference (same containers, dense math)
+    deq = dict(qparams)
+    deq["layers"] = {
+        k: (v.dequantize(jnp.float32) if isinstance(v, WOQWeight) else v)
+        for k, v in qparams["layers"].items()}
+
+    ids = np.random.default_rng(4).integers(3, 250, (2, 10))
+    got = GenerationSession(cfg_q, qparams, ECFG, model=moe).generate(
+        ids, max_new_tokens=8, sampling=SCFG)
+    ref = GenerationSession(cfg_fp, deq, ECFG, model=moe).generate(
+        ids, max_new_tokens=8, sampling=SCFG)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+
+    # quantization noise vs fp stays small at this scale
+    caches_q = moe.init_caches(cfg_q, 2, 32)
+    caches_f = moe.init_caches(cfg_fp, 2, 32)
+    lens = jnp.full((2,), 10, jnp.int32)
+    lq, _ = moe.forward_prefill(qparams, cfg_q, jnp.asarray(ids), lens,
+                                caches_q)
+    lf, _ = moe.forward_prefill(params, cfg_fp, jnp.asarray(ids), lens,
+                                caches_f)
+    assert float(jnp.abs(lq - lf).max()) < 0.5

@@ -98,14 +98,19 @@ def convert_hf_checkpoint(model_dir: str, out_dir: str, **kwargs):
     if "mixtral" in arch.lower():
         from transformers import MixtralForCausalLM
         from .hf_moe import config_from_hf, params_from_hf_model
-        if int(kwargs.get("quant_mode", QuantMode.NONE)):
-            raise ValueError("Mixtral conversion is fp-only for now "
-                             "(expert-weight quantization not wired)")
+        qm = kwargs.get("quant_mode", QuantMode.NONE)
+        if int(qm) and not (qm.is_weight_only()
+                            and not qm.has_int4_weights()):
+            raise ValueError("Mixtral supports fp or int8 weight-only "
+                             "(SQ / int4 / kv-quant for MoE not wired)")
         model = MixtralForCausalLM.from_pretrained(
             model_dir, torch_dtype=torch.float32, low_cpu_mem_usage=True)
         cfg = config_from_hf(model.config,
-                             dtype=kwargs.get("dtype", "bfloat16"))
+                             dtype=kwargs.get("dtype", "bfloat16"),
+                             quant_mode=qm)
         params = params_from_hf_model(model, cfg)
+        if int(qm):
+            params = quantize_params(params, qm)
         os.makedirs(out_dir, exist_ok=True)
         save_engine(out_dir, cfg, params, None)
         return cfg

@@ -89,16 +89,37 @@ def _moe_block(cfg: ModelConfig, lw, layer, x):
             * topw[..., None]).sum(axis=1)                     # [T, E]
     debug_output("router_weights", w_te)
 
-    wg, wu, wd = idx(lw["w_gate"]), idx(lw["w_up"]), idx(lw["w_down"])
-    g = jnp.einsum("td,edf->tef", ht, wg,
-                   preferred_element_type=jnp.float32)
-    u = jnp.einsum("td,edf->tef", ht, wu,
-                   preferred_element_type=jnp.float32)
+    from ..quantization.tensors import WOQWeight
+
+    def proj_in(w, h):
+        """[T,D]x[E,D,F] -> [T,E,F]; int8 experts run the dot on the raw
+        int8 values with the per-channel scale applied post-dot (identical
+        math to dequantize-then-dot, half the weight HBM traffic)."""
+        if isinstance(w, WOQWeight):
+            q = jax.lax.dynamic_index_in_dim(w.qweight, layer, 0, False)
+            s = jax.lax.dynamic_index_in_dim(w.scale, layer, 0, False)
+            g = jnp.einsum("td,edf->tef", h, q.astype(h.dtype),
+                           preferred_element_type=jnp.float32)
+            return g * s[None].astype(jnp.float32)
+        return jnp.einsum("td,edf->tef", h, idx(w),
+                          preferred_element_type=jnp.float32)
+
+    g = proj_in(lw["w_gate"], ht)
+    u = proj_in(lw["w_up"], ht)
     act = (jax.nn.silu(g) * u).astype(ht.dtype)                # [T, E, F]
     act = act * w_te[:, :, None].astype(ht.dtype)              # mask+combine
-    y = jnp.einsum("tef,efd->td", act, wd,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-    out = x + y.reshape(shape)
+    wd = lw["w_down"]
+    if isinstance(wd, WOQWeight):
+        q = jax.lax.dynamic_index_in_dim(wd.qweight, layer, 0, False)
+        s = jax.lax.dynamic_index_in_dim(wd.scale, layer, 0, False)
+        # scale is per (e, d): apply before the sum over experts
+        y_ed = jnp.einsum("tef,efd->ted", act, q.astype(act.dtype),
+                          preferred_element_type=jnp.float32)
+        y = (y_ed * s[None].astype(jnp.float32)).sum(axis=1)
+    else:
+        y = jnp.einsum("tef,efd->td", act, idx(wd),
+                       preferred_element_type=jnp.float32)
+    out = x + y.astype(x.dtype).reshape(shape)
     debug_output("decoder_layer_output", out)
     return out
 

@@ -30,12 +30,13 @@ from .tensors import (quantize_fp8_weight, quantize_smoothquant_weight,
 _ATTN_MLP_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def _matmul_keys(layers) -> list:
+def _matmul_keys(layers, ndims=(3,)) -> list:
     """Stacked projection weights of ANY family layout (llama w_gate/w_up,
     GPT/decoder w_fc/w_proj): every [L, in, out] plain array named w*.
+    ndims=(3, 4) additionally picks up MoE expert stacks [L, E, in, out].
     Biases/norms (ndim<3) and already-quantized containers are skipped."""
     return [k for k, v in layers.items()
-            if k.startswith("w") and getattr(v, "ndim", 0) == 3]
+            if k.startswith("w") and getattr(v, "ndim", 0) in ndims]
 
 
 def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
@@ -141,8 +142,14 @@ def quantize_params(params, quant_mode: QuantMode, group_size: int = 0,
     elif quant_mode.is_weight_only():
         w_bits = 4 if quant_mode.has_int4_weights() else 8
         gs = group_size if quant_mode.has_per_group_scaling() else 0
-        for k in _matmul_keys(params["layers"]):
-            new_layers[k] = quantize_weight_only(params["layers"][k], w_bits, gs)
+        # int8 also covers MoE expert stacks [L, E, in, out] (models/moe.py
+        # runs them as int8 einsums with post-dot per-channel scales); the
+        # int4 pack layout is 2D-kernel-specific, so 4D stays int8-only
+        ndims = (3, 4) if w_bits == 8 else (3,)
+        for k in _matmul_keys(params["layers"], ndims):
+            g_k = gs if params["layers"][k].ndim == 3 else 0
+            new_layers[k] = quantize_weight_only(params["layers"][k],
+                                                 w_bits, g_k)
     out = dict(params)
     out["layers"] = new_layers
     if quantize_lm_head:
