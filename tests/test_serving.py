@@ -341,3 +341,48 @@ def test_serving_chunked_prefill_interleaves_decode():
     assert len(engine.poll(long)) >= 1
     done = engine.run_to_completion()
     assert len(done[long].output_ids) == 4
+
+
+def test_serving_logprobs_match_offline(tiny_setup):
+    """return_logprobs: per-token model logprobs exposed over the serving
+    API match GenerationSession(return_logprobs=True) for the same request
+    (greedy, so token paths coincide)."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (6, 9)]
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                           return_logprobs=True)
+    rids = [engine.submit(p, 5) for p in prompts]
+    engine.step()
+    assert len(engine.poll_logprobs(rids[0])) == len(engine.poll(rids[0]))
+    done = engine.run_to_completion()
+    offline = GenerationSession(cfg, params, ecfg)
+    for rid, p in zip(rids, prompts):
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=5,
+                               return_logprobs=True)
+        assert done[rid].output_ids == ref.output_ids[0].tolist()
+        np.testing.assert_allclose(done[rid].logprobs,
+                                   ref.logprobs[0][:len(done[rid].logprobs)],
+                                   atol=1e-4)
+
+
+def test_serving_moe_family():
+    """ServingEngine drives the MoE family through the architecture
+    registry (model resolved from cfg.architecture)."""
+    from trtllm_llama_tpu.models import moe
+    cfg = ModelConfig.tiny(dtype="float32", num_experts=4,
+                           experts_per_token=2, intermediate_size=64,
+                           architecture="mixtral")
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_input_len=16, max_seq_len=32)
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(10)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (7, 4, 9)]
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3)
+    rids = [engine.submit(p, 5) for p in prompts]
+    done = engine.run_to_completion()
+    offline = GenerationSession(cfg, params, ecfg)   # registry -> moe
+    for rid, p in zip(rids, prompts):
+        ref = offline.generate([p], sampling=scfg, max_new_tokens=5)
+        assert done[rid].output_ids == ref.output_ids[0].tolist()

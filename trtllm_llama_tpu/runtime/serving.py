@@ -49,6 +49,16 @@ class FinishedRequest:
     request_id: int
     output_ids: List[int]
     finished_reason: str
+    logprobs: Optional[List[float]] = None   # set when return_logprobs
+
+
+def _chosen_lp(logits, tokens, enabled: bool):
+    """Model log-softmax prob of the sampled token ([B] f32; zeros when
+    logprob reporting is off, keeping every fn's return arity fixed)."""
+    if not enabled:
+        return jnp.zeros(tokens.shape, jnp.float32)
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lsm, tokens[:, None], 1)[:, 0]
 
 
 def _pow2_groups(n: int, cap: int):
@@ -73,7 +83,8 @@ class ServingEngine:
                  num_blocks: Optional[int] = None,
                  per_request_sampling: bool = False,
                  packed_prefill: bool = False,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 return_logprobs: bool = False):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
@@ -113,6 +124,10 @@ class ServingEngine:
         if self.prefill_chunk is not None and self.prefill_chunk < 16:
             raise ValueError("prefill_chunk must be >= 16")
         self._partial: Dict[int, int] = {}    # request_id -> next chunk start
+        # per-request model logprobs of emitted tokens (engine-side so the
+        # host scheduler - and its C++ twin - stay token-only)
+        self.return_logprobs = return_logprobs
+        self._req_logprobs: Dict[int, List[float]] = {}
         if jax.default_backend() != "cpu":
             # mirror GenerationSession: hot matmuls through Pallas kernels
             from ..ops.linear import enable_pallas_kernels
@@ -168,6 +183,7 @@ class ServingEngine:
         """Batched prefill: nb requests into their slots, one device call."""
         cfg, scfg, model = self.cfg, self.scfg, self.model
         per_request = self.per_request
+        want_lp = self.return_logprobs
 
         def fn(params, caches, ids, lengths, slots, key, slot_params):
             scratch = model.init_caches(cfg, nb, bucket, self._kv_scales)
@@ -183,6 +199,7 @@ class ServingEngine:
             else:
                 tokens = sample_step(logits, scfg, key)
                 counts = None
+            lp = _chosen_lp(logits, tokens, want_lp)
             # insert each request's KV rows at its slot (trash slot absorbs
             # the power-of-two padding rows)
             k, v = caches.k, caches.v
@@ -190,7 +207,7 @@ class ServingEngine:
                 sl = (0, slots[i], 0, 0, 0)
                 k = jax.lax.dynamic_update_slice(k, scratch.k[:, i:i + 1], sl)
                 v = jax.lax.dynamic_update_slice(v, scratch.v[:, i:i + 1], sl)
-            return caches._replace(k=k, v=v), tokens, counts
+            return caches._replace(k=k, v=v), tokens, counts, lp
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -198,6 +215,7 @@ class ServingEngine:
         cfg, scfg = self.cfg, self.scfg
         model = self.model
         per_request = self.per_request
+        want_lp = self.return_logprobs
 
         def fn(params, caches, ids, lengths, table_rows, slots, key,
                slot_params):
@@ -216,8 +234,9 @@ class ServingEngine:
             else:
                 tokens = sample_step(logits, scfg, key)
                 counts = None
+            lp = _chosen_lp(logits, tokens, want_lp)
             return (caches._replace(pool_k=view.pool_k, pool_v=view.pool_v),
-                    tokens, counts)
+                    tokens, counts, lp)
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -239,6 +258,7 @@ class ServingEngine:
         cfg, scfg, model = self.cfg, self.scfg, self.model
         per_request = self.per_request
         ms = self.max_slots
+        want_lp = self.return_logprobs
 
         def fn(params, caches, token_ids, seg_ids, slot_tok, pos_tok,
                last_idx, slots, key, slot_params):
@@ -257,7 +277,8 @@ class ServingEngine:
             else:
                 tokens = sample_step(logits, scfg, key)
                 counts = None
-            return caches, tokens, counts
+            return caches, tokens, counts, _chosen_lp(logits, tokens,
+                                                      want_lp)
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -298,7 +319,7 @@ class ServingEngine:
                 self.slot_params = self.slot_params.set_slot(req.slot, scfg_i)
         slot_params = self.slot_params if self.per_request else 0
         fn = self._get(("packed_prefill", tb), self._packed_prefill_fn, tb)
-        self.caches, tokens, counts = fn(
+        self.caches, tokens, counts, lps = fn(
             self.params, self.caches, jnp.asarray(token_ids),
             jnp.asarray(seg_ids), jnp.asarray(slot_tok),
             jnp.asarray(pos_tok), jnp.asarray(last_idx), jnp.asarray(slots),
@@ -307,7 +328,8 @@ class ServingEngine:
         if self.per_request and counts is not None:
             self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
                 counts)
-        finished.extend(self._register_prefilled(reqs, tokens))
+        finished.extend(self._register_prefilled(reqs, tokens,
+                                                 np.asarray(lps)))
         return finished
 
     def _chunk_prefill_fn(self, nb: int):
@@ -320,6 +342,7 @@ class ServingEngine:
         prefill."""
         cfg, scfg, model = self.cfg, self.scfg, self.model
         per_request = self.per_request
+        want_lp = self.return_logprobs
         nbi = jnp.arange(nb)
 
         def fn(params, caches, ids, starts, slots, key, slot_params, counts):
@@ -338,7 +361,8 @@ class ServingEngine:
                 counts = counts.at[nbi, tokens].add(1)
             else:
                 tokens = sample_step(last, scfg, key)
-            return caches._replace(k=k, v=v), tokens, counts
+            return (caches._replace(k=k, v=v), tokens, counts,
+                    _chosen_lp(last, tokens, want_lp))
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -373,16 +397,18 @@ class ServingEngine:
                 rows.append((i, req, is_last, st))
             fn = self._get(("chunk_prefill", nb), self._chunk_prefill_fn, nb)
             slot_params = self.slot_params if self.per_request else 0
-            self.caches, tokens, counts = fn(
+            self.caches, tokens, counts, lps = fn(
                 self.params, self.caches, jnp.asarray(ids),
                 jnp.asarray(starts), jnp.asarray(slots), self._next_key(),
                 slot_params,
                 jnp.asarray(counts) if self.per_request else 0)
             tokens = np.asarray(tokens)
+            lps = np.asarray(lps)
             done_rows = [(i, req) for i, req, is_last, _ in rows if is_last]
             if done_rows:
                 reqs = [r for _, r in done_rows]
                 toks = tokens[[i for i, _ in done_rows]]
+                row_lps = lps[[i for i, _ in done_rows]]
                 if self.per_request:
                     idx = jnp.asarray(
                         np.array([i for i, _ in done_rows], np.int32))
@@ -390,7 +416,8 @@ class ServingEngine:
                         np.array([r.slot for r in reqs], np.int32))
                     self.slot_counts = self.slot_counts.at[sl].set(
                         counts[idx])
-                finished.extend(self._register_prefilled(reqs, toks))
+                finished.extend(self._register_prefilled(reqs, toks,
+                                                         row_lps))
                 for _, req in done_rows:
                     self._partial.pop(req.request_id, None)
             for i, req, is_last, st in rows:
@@ -410,12 +437,15 @@ class ServingEngine:
         guard_inactive = self.prefill_chunk is not None
         smax = self.engine_cfg.max_seq_len
 
+        want_lp = self.return_logprobs
+
         def fn(params, caches, tokens, lens, active, gen, budget, key,
                slot_params, counts):
             out = jnp.zeros((n_rows, n_steps), jnp.int32)
+            out_lp = jnp.zeros((n_rows, n_steps), jnp.float32)
 
             def body(i, state):
-                tokens, lens, caches, active, gen, out, counts = state
+                tokens, lens, caches, active, gen, out, counts, out_lp = state
                 pos = (jnp.where(active, lens, smax) if guard_inactive
                        else lens)
                 logits, caches = model.forward_decode(
@@ -430,18 +460,23 @@ class ServingEngine:
                     nxt = sample_step(logits, scfg, sub)
                 nxt = jnp.where(active, nxt, scfg.pad_id)
                 out = out.at[:, i].set(nxt)
+                if want_lp:
+                    lp_i = _chosen_lp(logits, jnp.clip(nxt, 0, None), True)
+                    out_lp = out_lp.at[:, i].set(
+                        jnp.where(active, lp_i, 0.0))
                 gen = gen + active.astype(jnp.int32)
                 # freeze on EOS or when the slot's own budget is spent —
                 # other slots keep decoding full chunks
                 still = active & (nxt != scfg.end_id) & (gen < budget)
                 lens = lens + active.astype(jnp.int32)
                 return (jnp.where(still, nxt, scfg.pad_id), lens, caches,
-                        still, gen, out, counts)
+                        still, gen, out, counts, out_lp)
 
-            tokens, lens, caches, active, gen, out, counts = jax.lax.fori_loop(
+            (tokens, lens, caches, active, gen, out, counts,
+             out_lp) = jax.lax.fori_loop(
                 0, n_steps, body,
-                (tokens, lens, caches, active, gen, out, counts))
-            return caches, tokens, lens, active, gen, out, counts
+                (tokens, lens, caches, active, gen, out, counts, out_lp))
+            return caches, tokens, lens, active, gen, out, counts, out_lp
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -450,7 +485,8 @@ class ServingEngine:
             self._fn_cache[key] = builder(*args)
         return self._fn_cache[key]
 
-    def _register_prefilled(self, reqs: List[Request], tokens: np.ndarray
+    def _register_prefilled(self, reqs: List[Request], tokens: np.ndarray,
+                            lps: Optional[np.ndarray] = None
                             ) -> List[FinishedRequest]:
         """Activate freshly prefilled slots with BATCHED device updates (one
         scatter per state array instead of a 5-dispatch chain per request —
@@ -467,13 +503,21 @@ class ServingEngine:
         self.slot_gen = self.slot_gen.at[slots].set(1)
         finished = []
         for i, req in enumerate(reqs):
+            if self.return_logprobs and lps is not None:
+                self._req_logprobs.setdefault(req.request_id, []).append(
+                    float(lps[i]))
             if self.scheduler.record_token(req.request_id, int(tokens[i]),
                                            self.scfg.end_id):
                 self._release_slot(req.slot)
                 self._req_sampling.pop(req.request_id, None)
-                finished.append(FinishedRequest(
-                    req.request_id, req.output_ids, req.finished_reason))
+                finished.append(self._finished(req))
         return finished
+
+    def _finished(self, req: Request) -> FinishedRequest:
+        return FinishedRequest(
+            req.request_id, req.output_ids, req.finished_reason,
+            logprobs=self._req_logprobs.pop(req.request_id, None)
+            if self.return_logprobs else None)
 
     def _release_slot(self, slot: int):
         self.slot_active = self.slot_active.at[slot].set(False)
@@ -510,6 +554,13 @@ class ServingEngine:
             raise KeyError(request_id)
         return list(req.output_ids)
 
+    def poll_logprobs(self, request_id: int) -> List[float]:
+        """Model logprobs of the tokens poll() returns (requires
+        return_logprobs=True)."""
+        if not self.return_logprobs:
+            raise ValueError("engine built without return_logprobs")
+        return list(self._req_logprobs.get(request_id, []))
+
     def cancel(self, request_id: int):
         """Cancel a queued or in-flight request, releasing its slot/blocks."""
         req = self.scheduler.get(request_id)
@@ -518,6 +569,7 @@ class ServingEngine:
         self.scheduler.cancel(request_id)
         self._req_sampling.pop(request_id, None)
         self._partial.pop(request_id, None)
+        self._req_logprobs.pop(request_id, None)
         if in_flight and slot is not None:
             self._release_slot(slot)
 
@@ -549,14 +601,14 @@ class ServingEngine:
                     tables=self.caches.tables.at[req.slot].set(table_rows[i]))
             fn = self._get(("pprefill", bucket, nb),
                            self._paged_prefill_fn, bucket, nb)
-            self.caches, tokens, counts = fn(
+            self.caches, tokens, counts, lps = fn(
                 self.params, self.caches, jnp.asarray(ids),
                 jnp.asarray(lengths), jnp.asarray(table_rows),
                 jnp.asarray(slots), self._next_key(), slot_params)
         else:
             fn = self._get(("prefill", bucket, nb),
                            self._prefill_fn, bucket, nb)
-            self.caches, tokens, counts = fn(
+            self.caches, tokens, counts, lps = fn(
                 self.params, self.caches, jnp.asarray(ids),
                 jnp.asarray(lengths), jnp.asarray(slots), self._next_key(),
                 slot_params)
@@ -564,7 +616,8 @@ class ServingEngine:
         if self.per_request and counts is not None:
             self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
                 counts)
-        finished.extend(self._register_prefilled(reqs, tokens))
+        finished.extend(self._register_prefilled(reqs, tokens,
+                                                 np.asarray(lps)))
         if rest:
             finished.extend(self._admit_group(rest, bucket))
         return finished
@@ -635,22 +688,26 @@ class ServingEngine:
         slot_params = self.slot_params if self.per_request else 0
         counts = self.slot_counts if self.per_request else 0
         (self.caches, self.slot_tokens, self.slot_lens, self.slot_active,
-         self.slot_gen, out, counts) = fn(
+         self.slot_gen, out, counts, out_lp) = fn(
             self.params, self.caches, self.slot_tokens, self.slot_lens,
             self.slot_active, self.slot_gen, self.slot_budget,
             self._next_key(), slot_params, counts)
         if self.per_request:
             self.slot_counts = counts
         out = np.asarray(out)
+        out_lp = np.asarray(out_lp) if self.return_logprobs else None
 
         for slot, req in slot_of.items():
-            for t in out[slot]:
+            for j, t in enumerate(out[slot]):
+                if self.return_logprobs:
+                    # pad steps (slot froze) never reach record_token
+                    self._req_logprobs.setdefault(
+                        req.request_id, []).append(float(out_lp[slot, j]))
                 if self.scheduler.record_token(req.request_id, int(t),
                                                self.scfg.end_id):
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
-                    finished.append(FinishedRequest(
-                        req.request_id, req.output_ids, req.finished_reason))
+                    finished.append(self._finished(req))
                     break
         return finished
 
