@@ -89,8 +89,8 @@ def test_pipeline_ragged_lengths():
 def test_pipeline_validation():
     with pytest.raises(ValueError, match="pp >= 2"):
         PipelinedLlama(Mapping(pp=1))
-    with pytest.raises(ValueError, match="pp only"):
-        PipelinedLlama(Mapping(pp=2, tp=2))
+    with pytest.raises(ValueError, match="dp = sp = 1"):
+        PipelinedLlama(Mapping(pp=2, dp=2))
 
 
 def test_pipeline_bf16_dtype():
@@ -105,3 +105,19 @@ def test_pipeline_bf16_dtype():
         ids, max_new_tokens=6, sampling=SCFG)
     out = _run(cfg, params, Mapping(pp=2), 2, ids, max_new=6)
     np.testing.assert_array_equal(out.output_ids, ref.output_ids)
+
+
+def test_pipeline_composes_with_tp():
+    """pp (manual shard_map axis) x tp (GSPMD auto axis inside the stages):
+    column/row-sharded weights keep their 'tp' placement and XLA inserts
+    the per-layer psums inside each pipeline stage."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = ModelConfig.tiny(dtype="float32", num_layers=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = np.random.default_rng(5).integers(3, 250, (2, 12))
+    ref = GenerationSession(cfg, params, ECFG).generate(
+        ids, max_new_tokens=8, sampling=SCFG)
+    for pp, tp in [(2, 2), (2, 4), (4, 2)]:
+        out = _run(cfg, params, Mapping(pp=pp, tp=tp), 2, ids)
+        np.testing.assert_array_equal(out.output_ids, ref.output_ids)

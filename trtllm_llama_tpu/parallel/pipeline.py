@@ -149,9 +149,10 @@ class PipelinedLlama:
     def __init__(self, mapping, n_micro: int = 0):
         if mapping.pp < 2:
             raise ValueError("PipelinedLlama needs mapping.pp >= 2")
-        if mapping.dp * mapping.sp * mapping.tp != 1:
-            raise ValueError("v1 pipeline composes with pp only "
-                             "(dp = sp = tp = 1)")
+        if mapping.dp * mapping.sp != 1:
+            raise ValueError("pipeline composes with pp and tp "
+                             "(dp = sp = 1); tp stays a GSPMD auto axis "
+                             "inside the shard_map stages")
         self.mapping = mapping
         self.n_micro = n_micro or mapping.pp
         self._mesh = None   # bound by the session via bind_mesh
