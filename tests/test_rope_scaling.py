@@ -49,20 +49,22 @@ def test_linear_scaling_matches_hf_golden():
     from trtllm_llama_tpu.convert.hf import params_from_hf_model
 
     torch.manual_seed(0)
+    # HF long-context convention: max_position_embeddings already holds the
+    # EXTENDED window (original 16 x factor 4 = 64)
     hf_cfg = LlamaConfig(
         vocab_size=256, hidden_size=128, intermediate_size=256,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
-        max_position_embeddings=16, rms_norm_eps=1e-6,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
         rope_scaling={"rope_type": "linear", "factor": 4.0},
     )
     hf_model = LlamaForCausalLM(hf_cfg).eval()
     cfg = ModelConfig.from_hf_config(hf_cfg, dtype="float32")
     assert cfg.rope_scaling_type == "linear"
-    assert cfg.max_position_embeddings == 64     # extended window
+    assert cfg.max_position_embeddings == 64     # taken as-is, not re-scaled
     params = params_from_hf_model(hf_model, cfg)
 
     rng = np.random.default_rng(0)
-    b, s = 2, 40                                  # 40 > original 16
+    b, s = 2, 40                            # past the pre-scaling window 16
     ids = rng.integers(0, cfg.vocab_size, (b, s))
     with torch.no_grad():
         ref = hf_model(torch.tensor(ids)).logits.numpy()
@@ -88,3 +90,17 @@ def test_generate_beyond_original_window():
     out = GenerationSession(cfg, params, ecfg).generate(
         ids, max_new_tokens=8, sampling=SamplingConfig(end_id=-1))
     assert out.output_ids.shape == (1, 8) and (out.lengths == 8).all()
+
+
+def test_unsupported_scaling_type_raises():
+    """llama3/yarn/longrope configs must fail loudly, not silently run
+    unscaled RoPE (wrong logits at every position)."""
+    from transformers import LlamaConfig
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64,
+        rope_scaling={"rope_type": "yarn", "factor": 8.0,
+                      "original_max_position_embeddings": 8})
+    with pytest.raises(ValueError, match="unsupported rope_scaling"):
+        ModelConfig.from_hf_config(hf_cfg, dtype="float32")

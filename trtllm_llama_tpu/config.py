@@ -140,11 +140,20 @@ class ModelConfig:
                 d["rope_scaling_type"] = "linear"
             elif kind in ("dynamic", "ntk"):
                 d["rope_scaling_type"] = "ntk"   # static-alpha approximation
+            elif kind in ("default", ""):
+                pass
+            else:
+                # llama3 / yarn / longrope modify inv_freq in ways this
+                # engine does not implement yet — converting anyway would
+                # silently produce wrong logits at every position
+                raise ValueError(
+                    f"unsupported rope_scaling type {kind!r} "
+                    "(supported: linear, dynamic/ntk)")
             if kind in ("linear", "dynamic", "ntk"):
                 d["rope_scaling_factor"] = factor
-                # the scaled table covers the extended window
-                d["max_position_embeddings"] = int(
-                    hf_cfg.max_position_embeddings * factor)
+                # HF long-context checkpoints store the EXTENDED window in
+                # max_position_embeddings (e.g. 32768 with factor=8);
+                # take it as-is — the scaled table covers it
         d.update(over)
         return cls(**d)
 

@@ -100,7 +100,9 @@ def convert_hf_checkpoint(model_dir: str, out_dir: str, **kwargs):
         from .hf_moe import config_from_hf, params_from_hf_model
         qm = kwargs.get("quant_mode", QuantMode.NONE)
         if int(qm) and not (qm.is_weight_only()
-                            and not qm.has_int4_weights()):
+                            and not qm.has_int4_weights()
+                            and not qm.has_int8_kv_cache()
+                            and not qm.has_fp8_kv_cache()):
             raise ValueError("Mixtral supports fp or int8 weight-only "
                              "(SQ / int4 / kv-quant for MoE not wired)")
         model = MixtralForCausalLM.from_pretrained(

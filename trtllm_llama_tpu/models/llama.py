@@ -40,7 +40,7 @@ from ..ops.paged_attention import (
 from ..ops.linear import dense, dense_prequant, embedding_lookup
 from ..ops.norm import rms_norm, rms_norm_quant
 from ..quantization.tensors import SQWeight
-from ..ops.rope import apply_rope, rope_table, take_rope
+from ..ops.rope import apply_rope, rope_tables_for, take_rope
 from ..utils.debugging import debug_output
 
 # Layer param keys (each stacked [L, ...]):
@@ -297,10 +297,7 @@ def forward_prefill(params: Params, cfg: ModelConfig, input_ids, seq_lens,
     """
     b, s = input_ids.shape
     x = embedding_lookup(params["embed"], input_ids, cfg.jnp_dtype)
-    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta,
-                              scaling_type=cfg.rope_scaling_type,
-                              scaling_factor=cfg.rope_scaling_factor)
+    cos_t, sin_t = rope_tables_for(cfg)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = take_rope(cos_t, sin_t, positions)        # [B,S,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, seq_lens, False)
@@ -325,10 +322,7 @@ def forward_prefill_packed(params: Params, cfg: ModelConfig, token_ids,
     gather_last_token_logits, functional.py:3316).
     """
     x = embedding_lookup(params["embed"], token_ids, cfg.jnp_dtype)  # [T, D]
-    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta,
-                              scaling_type=cfg.rope_scaling_type,
-                              scaling_factor=cfg.rope_scaling_factor)
+    cos_t, sin_t = rope_tables_for(cfg)
     cos, sin = take_rope(cos_t, sin_t, packed.pos_tok)               # [T,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, None, False,
                             packed)
@@ -351,10 +345,7 @@ def forward_extend(params: Params, cfg: ModelConfig, tokens, start,
     decodes strictly one token per step, runtime/generation.py:852-996)."""
     b, t = tokens.shape
     x = embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)  # [B, T, D]
-    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta,
-                              scaling_type=cfg.rope_scaling_type,
-                              scaling_factor=cfg.rope_scaling_factor)
+    cos_t, sin_t = rope_tables_for(cfg)
     positions = start[:, None] + jnp.arange(t)[None]              # [B, T]
     cos, sin = take_rope(cos_t, sin_t, positions)                 # [B,T,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, None, False,
@@ -372,10 +363,7 @@ def forward_decode(params: Params, cfg: ModelConfig, tokens, positions,
     Returns (logits [B, V], caches).
     """
     x = embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)   # [B, D]
-    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta,
-                              scaling_type=cfg.rope_scaling_type,
-                              scaling_factor=cfg.rope_scaling_factor)
+    cos_t, sin_t = rope_tables_for(cfg)
     cos, sin = take_rope(cos_t, sin_t, positions)                  # [B,1,d]
     x, caches = _run_layers(cfg, params, x, cos, sin, caches, positions, True)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)

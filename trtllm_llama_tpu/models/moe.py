@@ -140,12 +140,8 @@ def _run_layers(cfg, params, x, cos, sin, caches, seq_lens, decode):
 
 
 def _rope(cfg, positions):
-    from ..ops.rope import rope_table, take_rope
-    cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                              cfg.rope_theta,
-                              scaling_type=cfg.rope_scaling_type,
-                              scaling_factor=cfg.rope_scaling_factor)
-    return take_rope(cos_t, sin_t, positions)
+    from ..ops.rope import rope_tables_for, take_rope
+    return take_rope(*rope_tables_for(cfg), positions)
 
 
 def forward_prefill(params: Params, cfg: ModelConfig, input_ids, seq_lens,

@@ -40,6 +40,16 @@ def rope_table(max_len: int, head_dim: int, theta: float = 10000.0,
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 
 
+def rope_tables_for(cfg, dtype=jnp.float32):
+    """(cos, sin) tables sized and scaled per a ModelConfig — the single
+    place the table geometry (length, theta, long-context scaling) is
+    decided for the HF-LLaMA convention families."""
+    return rope_table(cfg.max_position_embeddings, cfg.head_dim,
+                      cfg.rope_theta, dtype,
+                      scaling_type=cfg.rope_scaling_type,
+                      scaling_factor=cfg.rope_scaling_factor)
+
+
 def _rotate_half(x):
     d = x.shape[-1] // 2
     return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)

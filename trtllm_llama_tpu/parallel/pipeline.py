@@ -34,10 +34,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-try:                                    # jax>=0.4.35 moved shard_map
-    from jax import shard_map as _shard_map
-except ImportError:                     # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+# jax >= 0.7 top-level API; the call below uses axis_names=/check_vma=
+# which the old experimental shard_map never had, so no fallback exists
+from jax import shard_map as _shard_map
 
 from ..config import ModelConfig
 from ..models import llama
@@ -164,12 +163,8 @@ class PipelinedLlama:
         return llama.init_caches(cfg, batch, max_len, kv_scales)
 
     def _rope(self, cfg, positions):
-        from ..ops.rope import rope_table, take_rope
-        cos_t, sin_t = rope_table(cfg.max_position_embeddings, cfg.head_dim,
-                                  cfg.rope_theta,
-                                  scaling_type=cfg.rope_scaling_type,
-                                  scaling_factor=cfg.rope_scaling_factor)
-        return take_rope(cos_t, sin_t, positions)
+        from ..ops.rope import rope_tables_for, take_rope
+        return take_rope(*rope_tables_for(cfg), positions)
 
     def forward_prefill(self, params, cfg, input_ids, seq_lens, caches,
                         return_all_logits: bool = False):

@@ -40,14 +40,19 @@ def _leaf_spec(path, leaf, pp: bool = False, ep: bool = False) -> P:
     # leading L axis over 'pp' (each stage holds only its own layers)
     stacked = pp and "layers" in keys
     # expert parallel: MoE expert weights are [L, E, in, out] — 4D col/row
-    # leaves shard their E axis over 'ep' (models/moe.py)
-    expert = ep and "layers" in keys and leaf.ndim == 4
+    # leaves shard their E axis over 'ep' (models/moe.py). Their container
+    # scales are 3D [L, E, channels]: under an ep mesh, any 3D scale leaf
+    # is an expert scale (expert quantization is per-channel only, and
+    # dense projections' scales are 2D), so its axis 1 is E, not K/g.
+    expert = ep and "layers" in keys and (
+        leaf.ndim == 4
+        or (leaf.ndim == 3 and field in ("scale", "scale_w")))
 
     def spec(*axes):
         axes = list(axes)
         if stacked and axes[0] is None:
             axes[0] = "pp"
-        if expert and len(axes) >= 2 and axes[1] is None:
+        if expert and len(axes) >= 2:
             axes[1] = "ep"
         return P(*axes)
 

@@ -109,9 +109,15 @@ class ServingEngine:
         self.paged = paged
         self.per_request = per_request_sampling
         # packed (remove-padding) admission: all admits of a step prefill as
-        # ONE flattened token stream regardless of length mix
+        # ONE flattened token stream regardless of length mix. Capability
+        # checks are against the RESOLVED model (architecture registry),
+        # not the llama default.
         self.packed = (packed_prefill and not paged
-                       and hasattr(model or llama, "forward_prefill_packed"))
+                       and hasattr(self.model, "forward_prefill_packed"))
+        if packed_prefill and not self.packed and not paged:
+            raise ValueError(
+                f"model family {getattr(cfg, 'architecture', 'llama')!r} "
+                "has no packed-prefill path")
         # chunked-context admission: prompts longer than prefill_chunk are
         # prefilled C tokens per engine step (via forward_extend at cache
         # offsets), interleaved with decode chunks for the other slots — so
@@ -123,6 +129,11 @@ class ServingEngine:
                               and not paged and not self.packed else None)
         if self.prefill_chunk is not None and self.prefill_chunk < 16:
             raise ValueError("prefill_chunk must be >= 16")
+        if (self.prefill_chunk is not None
+                and not hasattr(self.model, "forward_extend")):
+            raise ValueError(
+                f"model family {getattr(cfg, 'architecture', 'llama')!r} "
+                "has no forward_extend — chunked prefill unavailable")
         self._partial: Dict[int, int] = {}    # request_id -> next chunk start
         # per-request model logprobs of emitted tokens (engine-side so the
         # host scheduler - and its C++ twin - stay token-only)

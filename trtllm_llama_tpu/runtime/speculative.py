@@ -95,6 +95,10 @@ class SpeculativeSession:
                             else by_architecture(
                                 getattr(draft_cfg, "architecture",
                                         "llama")))
+        if not hasattr(self.model, "forward_extend"):
+            raise ValueError(
+                "speculative verification needs the target model to "
+                "provide forward_extend (llama family only for now)")
         self.kv_scales = kv_scales
         self.draft_kv_scales = draft_kv_scales
         self.params = params
