@@ -1,0 +1,234 @@
+"""Minimal HTTP serving front-end over ServingEngine (continuous batching).
+
+The reference's serving story ends at the closed-source batch manager with
+a Triton backend; here the open scheduler gets an open front-end — stdlib
+only, one engine thread owning the device, HTTP handlers talking to it
+through a queue.
+
+  POST /generate   {"prompt": "...", "max_new_tokens": 64,
+                    "temperature": 1.0, "top_k": 0, "top_p": 0.0,
+                    "stream": false, "logprobs": false}
+    -> {"request_id", "text", "output_ids", "finished_reason"[, "logprobs"]}
+    stream=true -> chunked JSON-lines, one {"token_ids": [...], "text_delta"}
+    per engine chunk, final line carries "finished_reason".
+  GET  /health     -> {"status": "ok", "active", "queued"}
+
+Run:  python examples/serve_http.py --engine_dir E --tokenizer_dir T --port 8080
+"""
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("TLLM_FORCE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+class EngineWorker(threading.Thread):
+    """Single thread owning the ServingEngine: drains submissions, steps the
+    engine while work exists, publishes per-request progress snapshots."""
+
+    def __init__(self, engine):
+        super().__init__(daemon=True)
+        self.engine = engine
+        self._submit_q = queue.Queue()
+        self._lock = threading.Lock()
+        self._progress = {}        # rid -> list of tokens so far
+        self._logprobs = {}        # rid -> list of floats so far
+        self._finished = {}        # rid -> FinishedRequest
+        self._wake = threading.Event()
+        self._stop = False
+
+    def submit(self, input_ids, max_new_tokens, sampling=None):
+        done = threading.Event()
+        box = {}
+        self._submit_q.put((input_ids, max_new_tokens, sampling, box, done))
+        self._wake.set()
+        done.wait()
+        return box["rid"]
+
+    def snapshot(self, rid):
+        with self._lock:
+            fin = self._finished.get(rid)
+            toks = list(self._progress.get(rid, []))
+            lps = list(self._logprobs.get(rid, []))
+        return toks, lps, fin
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+
+    def run(self):
+        eng = self.engine
+        while not self._stop:
+            drained = False
+            while True:
+                try:
+                    ids, mnt, scfg, box, done = self._submit_q.get_nowait()
+                except queue.Empty:
+                    break
+                box["rid"] = eng.submit(ids, mnt, sampling=scfg)
+                done.set()
+                drained = True
+            if eng.scheduler.has_work:
+                finished = eng.step()
+                with self._lock:
+                    for req in eng.scheduler.active_requests():
+                        self._progress[req.request_id] = list(req.output_ids)
+                        if eng.return_logprobs:
+                            self._logprobs[req.request_id] = (
+                                eng.poll_logprobs(req.request_id))
+                    for fr in finished:
+                        self._progress[fr.request_id] = list(fr.output_ids)
+                        if fr.logprobs is not None:
+                            self._logprobs[fr.request_id] = list(fr.logprobs)
+                        self._finished[fr.request_id] = fr
+            elif not drained:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+
+def make_handler(worker, tokenizer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet
+            pass
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/health":
+                return self._json(404, {"error": "not found"})
+            sch = worker.engine.scheduler
+            self._json(200, {"status": "ok", "active": sch.num_active,
+                             "queued": sch.num_queued})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if "input_ids" in req:
+                    ids = [int(t) for t in req["input_ids"]]
+                else:
+                    ids = tokenizer(req["prompt"]).input_ids
+                mnt = int(req.get("max_new_tokens", 64))
+                scfg = None
+                if worker.engine.per_request:
+                    from trtllm_llama_tpu.runtime.sampling import (
+                        SamplingConfig)
+                    base = worker.engine.scfg
+                    scfg = SamplingConfig(
+                        end_id=base.end_id, pad_id=base.pad_id,
+                        temperature=float(req.get("temperature", 1.0)),
+                        top_k=int(req.get("top_k", 0)),
+                        top_p=float(req.get("top_p", 0.0)))
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+
+            rid = worker.submit(ids, mnt, scfg)
+            if req.get("stream"):
+                return self._stream(rid)
+            while True:
+                _, lps, fin = worker.snapshot(rid)
+                if fin is not None:
+                    break
+                time.sleep(0.01)
+            out = {"request_id": rid, "output_ids": fin.output_ids,
+                   "text": tokenizer.decode(fin.output_ids),
+                   "finished_reason": fin.finished_reason}
+            if req.get("logprobs") and fin.logprobs is not None:
+                out["logprobs"] = fin.logprobs
+            self._json(200, out)
+
+        def _stream(self, rid):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/jsonl")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(obj):
+                line = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(line):x}\r\n".encode() + line
+                                 + b"\r\n")
+
+            sent = 0
+            while True:
+                toks, _, fin = worker.snapshot(rid)
+                if len(toks) > sent:
+                    emit({"token_ids": toks[sent:],
+                          "text_delta": tokenizer.decode(toks[sent:])})
+                    sent = len(toks)
+                if fin is not None:
+                    emit({"finished_reason": fin.finished_reason,
+                          "n_tokens": len(fin.output_ids)})
+                    break
+                time.sleep(0.01)
+            self.wfile.write(b"0\r\n\r\n")
+
+    return Handler
+
+
+def build_server(engine, tokenizer, port: int = 0):
+    """(server, worker) — worker started, server ready for serve_forever."""
+    worker = EngineWorker(engine)
+    worker.start()
+    srv = ThreadingHTTPServer(("127.0.0.1", port),
+                              make_handler(worker, tokenizer))
+    return srv, worker
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--engine_dir", required=True)
+    p.add_argument("--tokenizer_dir", required=True)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--max_input_len", type=int, default=1024)
+    p.add_argument("--max_seq_len", type=int, default=2048)
+    p.add_argument("--decode_chunk", type=int, default=8)
+    p.add_argument("--prefill_chunk", type=int, default=None)
+    p.add_argument("--per_request_sampling", action="store_true")
+    p.add_argument("--logprobs", action="store_true")
+    args = p.parse_args()
+
+    from transformers import AutoTokenizer
+    from trtllm_llama_tpu.config import EngineConfig
+    from trtllm_llama_tpu.convert.serialize import load_engine
+    from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+    from trtllm_llama_tpu.runtime.serving import ServingEngine
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_dir)
+    cfg, params, kv_scales = load_engine(args.engine_dir)
+    engine = ServingEngine(
+        cfg, params,
+        EngineConfig(max_batch_size=args.max_batch_size,
+                     max_input_len=args.max_input_len,
+                     max_seq_len=args.max_seq_len),
+        sampling=SamplingConfig(end_id=tokenizer.eos_token_id or -1),
+        kv_scales=kv_scales, decode_chunk=args.decode_chunk,
+        prefill_chunk=args.prefill_chunk,
+        per_request_sampling=args.per_request_sampling,
+        return_logprobs=args.logprobs)
+    srv, _ = build_server(engine, tokenizer, args.port)
+    print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
+          f"(POST /generate, GET /health)")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
