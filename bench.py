@@ -140,13 +140,34 @@ def serving_bench(config_name: str):
         KERNELS["paged_attn_mode"] = pmode
     packed = bool(int(os.environ.get("BENCH_PACKED", "0")))
     pchunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "0")) or None
-    eng = ServingEngine(cfg, params, ecfg,
-                        sampling=SamplingConfig(end_id=-1),
-                        decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")),
-                        paged=paged,
-                        block_size=int(os.environ.get("BENCH_BLOCK", "64")),
-                        packed_prefill=packed,
-                        prefill_chunk=pchunk)
+    spec_draft = os.environ.get("BENCH_SPEC_DRAFT")   # self | random
+    if spec_draft:
+        from trtllm_llama_tpu.runtime.serving_spec import (
+            SpeculativeServingEngine,
+        )
+        gamma = int(os.environ.get("BENCH_GAMMA", "4"))
+        if spec_draft == "self":
+            dcfg, dparams = cfg, params
+        else:
+            from trtllm_llama_tpu.models import llama as _llama
+            from trtllm_llama_tpu.config import ModelConfig as _MC
+            dcfg = _MC(vocab_size=cfg.vocab_size, hidden_size=768,
+                       intermediate_size=2048, num_layers=12, num_heads=12,
+                       num_kv_heads=12, head_dim=64)
+            dparams = _llama.init_params(dcfg, jax.random.PRNGKey(1))
+        eng = SpeculativeServingEngine(
+            cfg, params, dcfg, dparams, ecfg, gamma=gamma,
+            sampling=SamplingConfig(end_id=-1),
+            decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")))
+    else:
+        eng = ServingEngine(
+            cfg, params, ecfg,
+            sampling=SamplingConfig(end_id=-1),
+            decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")),
+            paged=paged,
+            block_size=int(os.environ.get("BENCH_BLOCK", "64")),
+            packed_prefill=packed,
+            prefill_chunk=pchunk)
     rng = np.random.default_rng(0)
     # warm the compile paths the measured run will hit: a single request
     # (nb=1 prefill) and a full-slot wave (nb=slots prefill + decode chunk)
@@ -170,7 +191,8 @@ def serving_bench(config_name: str):
                   f"{slots} slots, {n_req} reqs, in{in_len} out{out_len}"
                   + (", paged" if paged else "")
                   + (", packed" if packed else "")
-                  + (f", chunked{pchunk}" if pchunk else "") + ")",
+                  + (f", chunked{pchunk}" if pchunk else "")
+                  + (f", spec-{spec_draft}" if spec_draft else "") + ")",
         "value": round(total_tokens / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching

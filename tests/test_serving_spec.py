@@ -1,0 +1,106 @@
+"""Speculative decoding under continuous batching (SpeculativeServingEngine).
+
+Exactness bar: greedy speculative serving must emit exactly the plain
+serving engine's tokens for every request (which are themselves exactly the
+offline session's tokens) — for drafts that almost never match (random) and
+drafts that always match (self-draft)."""
+
+import numpy as np
+import pytest
+import jax
+
+from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+from trtllm_llama_tpu.models import llama
+from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+from trtllm_llama_tpu.runtime.serving import ServingEngine
+from trtllm_llama_tpu.runtime.serving_spec import SpeculativeServingEngine
+
+CFG = ModelConfig.tiny(dtype="float32")
+DCFG = ModelConfig.tiny(dtype="float32", num_layers=1, hidden_size=64,
+                        intermediate_size=128, num_heads=2, num_kv_heads=2,
+                        head_dim=32)
+ECFG = EngineConfig(max_batch_size=3, max_input_len=16, max_seq_len=48)
+SCFG = SamplingConfig(end_id=-1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = llama.init_params(CFG, jax.random.PRNGKey(5))
+    dparams = llama.init_params(DCFG, jax.random.PRNGKey(1))
+    return params, dparams
+
+
+def _ref_outputs(params, prompts, new_tokens, scfg=SCFG):
+    eng = ServingEngine(CFG, params, ECFG, sampling=scfg, decode_chunk=3)
+    rids = [eng.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    done = eng.run_to_completion()
+    return [done[r] for r in rids]
+
+
+@pytest.mark.parametrize("gamma", [1, 3])
+def test_spec_serving_matches_plain_random_draft(setup, gamma):
+    params, dparams = setup
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 9, 3, 7, 11)]
+    new_tokens = [6, 4, 8, 5, 7]
+    ref = _ref_outputs(params, prompts, new_tokens)
+    eng = SpeculativeServingEngine(CFG, params, DCFG, dparams, ECFG,
+                                   gamma=gamma, sampling=SCFG,
+                                   decode_chunk=4)
+    rids = [eng.submit(p, n) for p, n in zip(prompts, new_tokens)]
+    done = eng.run_to_completion()
+    for rid, want in zip(rids, ref):
+        assert done[rid].output_ids == want.output_ids, (
+            rid, done[rid].output_ids, want.output_ids)
+        assert done[rid].finished_reason == want.finished_reason
+
+
+def test_spec_serving_self_draft_and_streaming_arrivals(setup):
+    """Self-draft (100% acceptance) + a request arriving mid-flight."""
+    params, _ = setup
+    rng = np.random.default_rng(2)
+    p1 = rng.integers(3, 250, (6,)).tolist()
+    p2 = rng.integers(3, 250, (9,)).tolist()
+    ref = _ref_outputs(params, [p1, p2], [8, 6])
+    eng = SpeculativeServingEngine(CFG, params, CFG, params, ECFG,
+                                   gamma=4, sampling=SCFG, decode_chunk=5)
+    r1 = eng.submit(p1, 8)
+    eng.step()
+    r2 = eng.submit(p2, 6)                 # joins mid-flight
+    done = eng.run_to_completion()
+    assert done[r1].output_ids == ref[0].output_ids
+    assert done[r2].output_ids == ref[1].output_ids
+
+
+def test_spec_serving_eos_and_logprobs(setup):
+    params, dparams = setup
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 250, (6,)).tolist()
+    free = _ref_outputs(params, [prompt], [6])[0]
+    eos = free.output_ids[2]
+    scfg = SamplingConfig(end_id=eos)
+    want = _ref_outputs(params, [prompt], [6], scfg)[0]
+    eng = SpeculativeServingEngine(CFG, params, DCFG, dparams, ECFG,
+                                   gamma=3, sampling=scfg, decode_chunk=4,
+                                   return_logprobs=True)
+    rid = eng.submit(prompt, 6)
+    done = eng.run_to_completion()
+    assert done[rid].finished_reason == "eos"
+    assert done[rid].output_ids == want.output_ids
+    # logprobs align with the offline session's
+    from trtllm_llama_tpu.runtime.session import GenerationSession
+    ref = GenerationSession(CFG, params, ECFG).generate(
+        [prompt], sampling=scfg, max_new_tokens=6, return_logprobs=True)
+    n = len(done[rid].output_ids)
+    np.testing.assert_allclose(done[rid].logprobs, ref.logprobs[0][:n],
+                               atol=1e-4)
+
+
+def test_spec_serving_validation(setup):
+    params, dparams = setup
+    with pytest.raises(ValueError, match="greedy-only"):
+        SpeculativeServingEngine(CFG, params, DCFG, dparams, ECFG,
+                                 sampling=SamplingConfig(top_k=4))
+    with pytest.raises(ValueError, match="vocabulary"):
+        SpeculativeServingEngine(
+            CFG, params, ModelConfig.tiny(vocab_size=128), dparams, ECFG)

@@ -673,6 +673,14 @@ class ServingEngine:
         if not self.scheduler.active_requests():
             return finished
 
+        finished.extend(self._decode_phase())
+        return finished
+
+    def _decode_phase(self) -> List[FinishedRequest]:
+        """Advance all decoding slots by one device chunk and record the
+        tokens (override point: SpeculativeServingEngine replaces this with
+        draft/verify iterations)."""
+        finished: List[FinishedRequest] = []
         # chunk = enough steps for the request with the LARGEST remaining
         # budget (each slot self-freezes at its own budget on device).
         # Partially-prefilled requests are active in the scheduler but have
