@@ -30,5 +30,5 @@ run BENCH_MODE=serving BENCH_CONFIG=int4
 # Speculative bounds
 run BENCH_MODE=speculative BENCH_CONFIG=int8 BENCH_DRAFT=self
 run BENCH_MODE=speculative BENCH_CONFIG=int8 BENCH_DRAFT=random
-echo "done; results in $OUT" >&2
 run BENCH_MODE=serving BENCH_CONFIG=int8 BENCH_SPEC_DRAFT=self
+echo "done; results in $OUT" >&2
