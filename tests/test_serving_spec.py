@@ -104,3 +104,32 @@ def test_spec_serving_validation(setup):
     with pytest.raises(ValueError, match="vocabulary"):
         SpeculativeServingEngine(
             CFG, params, ModelConfig.tiny(vocab_size=128), dparams, ECFG)
+
+
+def test_spec_serving_quantized_target(setup):
+    """int8-wo + int8-KV target under speculative serving — quantization
+    rides the weight containers; outputs still match plain serving."""
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.quantization.quantize import quantize_params
+    _, dparams = setup
+    qm = QuantMode.use_weight_only(False) | QuantMode.INT8_KV_CACHE
+    cfg = ModelConfig.tiny(dtype="float32", quant_mode=qm)
+    params = quantize_params(
+        llama.init_params(ModelConfig.tiny(dtype="float32"),
+                          jax.random.PRNGKey(5)), qm)
+    kvs = np.full((cfg.num_layers,), 0.05, np.float32)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 8)]
+
+    plain = ServingEngine(cfg, params, ECFG, sampling=SCFG, decode_chunk=3,
+                          kv_scales=kvs)
+    p_ids = [plain.submit(p, 6) for p in prompts]
+    p_done = plain.run_to_completion()
+
+    spec = SpeculativeServingEngine(cfg, params, DCFG, dparams, ECFG,
+                                    gamma=3, sampling=SCFG, decode_chunk=4,
+                                    kv_scales=kvs)
+    s_ids = [spec.submit(p, 6) for p in prompts]
+    s_done = spec.run_to_completion()
+    for pi, si in zip(p_ids, s_ids):
+        assert s_done[si].output_ids == p_done[pi].output_ids
