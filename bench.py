@@ -142,6 +142,9 @@ def serving_bench(config_name: str):
     pchunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "0")) or None
     spec_draft = os.environ.get("BENCH_SPEC_DRAFT")   # self | random
     if spec_draft:
+        # the spec engine is dense/non-packed/non-chunked: drop the flags
+        # so the emitted metric label matches the configuration that ran
+        paged, packed, pchunk = False, False, None
         from trtllm_llama_tpu.runtime.serving_spec import (
             SpeculativeServingEngine,
         )

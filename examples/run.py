@@ -67,7 +67,8 @@ def main():
     scfg = SamplingConfig(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         repetition_penalty=args.repetition_penalty,
-        end_id=tokenizer.eos_token_id or 2,
+        end_id=(tokenizer.eos_token_id
+                if tokenizer.eos_token_id is not None else 2),
         pad_id=tokenizer.pad_token_id or 0)
     out = sess.generate([ids], sampling=scfg,
                         max_new_tokens=args.max_output_len, seed=args.seed)

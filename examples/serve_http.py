@@ -46,14 +46,25 @@ class EngineWorker(threading.Thread):
         self._finished = {}        # rid -> FinishedRequest
         self._wake = threading.Event()
         self._stop = False
+        self._fault = None
 
     def submit(self, input_ids, max_new_tokens, sampling=None):
         done = threading.Event()
         box = {}
-        self._submit_q.put((input_ids, max_new_tokens, sampling, box, done))
+        self._submit_q.put(("submit",
+                            (input_ids, max_new_tokens, sampling), box,
+                            done))
         self._wake.set()
         done.wait()
+        if "error" in box:
+            raise ValueError(box["error"])
         return box["rid"]
+
+    def cancel(self, rid):
+        """Cancel an in-flight request (client disconnected mid-stream) —
+        routed through the engine thread like every other engine call."""
+        self._submit_q.put(("cancel", rid, None, None))
+        self._wake.set()
 
     def snapshot(self, rid):
         with self._lock:
@@ -61,6 +72,15 @@ class EngineWorker(threading.Thread):
             toks = list(self._progress.get(rid, []))
             lps = list(self._logprobs.get(rid, []))
         return toks, lps, fin
+
+    def claim_finished(self, rid):
+        """Final read: returns the FinishedRequest and evicts all state for
+        rid (long-running servers must not accumulate every past request)."""
+        with self._lock:
+            fin = self._finished.pop(rid, None)
+            self._progress.pop(rid, None)
+            self._logprobs.pop(rid, None)
+        return fin
 
     def shutdown(self):
         self._stop = True
@@ -72,14 +92,37 @@ class EngineWorker(threading.Thread):
             drained = False
             while True:
                 try:
-                    ids, mnt, scfg, box, done = self._submit_q.get_nowait()
+                    op, payload, box, done = self._submit_q.get_nowait()
                 except queue.Empty:
                     break
-                box["rid"] = eng.submit(ids, mnt, sampling=scfg)
-                done.set()
                 drained = True
+                if op == "cancel":
+                    try:
+                        eng.cancel(payload)
+                    except Exception:       # already finished/unknown: fine
+                        pass
+                    with self._lock:
+                        self._progress.pop(payload, None)
+                        self._logprobs.pop(payload, None)
+                        self._finished.pop(payload, None)
+                    continue
+                ids, mnt, scfg = payload
+                try:
+                    box["rid"] = eng.submit(ids, mnt, sampling=scfg)
+                except Exception as e:      # reject THIS request, stay alive
+                    box["error"] = str(e)
+                done.set()
             if eng.scheduler.has_work:
-                finished = eng.step()
+                try:
+                    finished = eng.step()
+                except Exception as e:      # engine fault: fail pending work
+                    import traceback
+                    traceback.print_exc(file=sys.stderr)
+                    with self._lock:
+                        for req in eng.scheduler.active_requests():
+                            eng.scheduler.cancel(req.request_id)
+                        self._fault = str(e)
+                    continue
                 with self._lock:
                     for req in eng.scheduler.active_requests():
                         self._progress[req.request_id] = list(req.output_ids)
@@ -98,6 +141,8 @@ class EngineWorker(threading.Thread):
 
 def make_handler(worker, tokenizer):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"   # chunked framing needs 1.1
+
         def log_message(self, *a):   # quiet
             pass
 
@@ -128,6 +173,8 @@ def make_handler(worker, tokenizer):
                     ids = tokenizer(req["prompt"]).input_ids
                 mnt = int(req.get("max_new_tokens", 64))
                 scfg = None
+                wants_sampling = any(k in req for k in
+                                     ("temperature", "top_k", "top_p"))
                 if worker.engine.per_request:
                     from trtllm_llama_tpu.runtime.sampling import (
                         SamplingConfig)
@@ -137,10 +184,18 @@ def make_handler(worker, tokenizer):
                         temperature=float(req.get("temperature", 1.0)),
                         top_k=int(req.get("top_k", 0)),
                         top_p=float(req.get("top_p", 0.0)))
+                elif wants_sampling:
+                    return self._json(400, {
+                        "error": "server started without "
+                                 "--per_request_sampling; per-request "
+                                 "temperature/top_k/top_p unavailable"})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
 
-            rid = worker.submit(ids, mnt, scfg)
+            try:
+                rid = worker.submit(ids, mnt, scfg)
+            except ValueError as e:        # e.g. exceeds max_seq_len
+                return self._json(400, {"error": str(e)})
             if req.get("stream"):
                 return self._stream(rid)
             while True:
@@ -148,6 +203,7 @@ def make_handler(worker, tokenizer):
                 if fin is not None:
                     break
                 time.sleep(0.01)
+            worker.claim_finished(rid)
             out = {"request_id": rid, "output_ids": fin.output_ids,
                    "text": tokenizer.decode(fin.output_ids),
                    "finished_reason": fin.finished_reason}
@@ -167,18 +223,28 @@ def make_handler(worker, tokenizer):
                                  + b"\r\n")
 
             sent = 0
-            while True:
-                toks, _, fin = worker.snapshot(rid)
-                if len(toks) > sent:
-                    emit({"token_ids": toks[sent:],
-                          "text_delta": tokenizer.decode(toks[sent:])})
-                    sent = len(toks)
-                if fin is not None:
-                    emit({"finished_reason": fin.finished_reason,
-                          "n_tokens": len(fin.output_ids)})
-                    break
-                time.sleep(0.01)
-            self.wfile.write(b"0\r\n\r\n")
+            sent_text = ""
+            try:
+                while True:
+                    toks, _, fin = worker.snapshot(rid)
+                    if len(toks) > sent:
+                        # cumulative decode: subword/byte tokens only render
+                        # correctly in context, so the delta is the SUFFIX of
+                        # decode(all tokens so far), not decode(new tokens)
+                        full = tokenizer.decode(toks)
+                        emit({"token_ids": toks[sent:],
+                              "text_delta": full[len(sent_text):]})
+                        sent, sent_text = len(toks), full
+                    if fin is not None:
+                        emit({"finished_reason": fin.finished_reason,
+                              "n_tokens": len(fin.output_ids)})
+                        break
+                    time.sleep(0.01)
+                self.wfile.write(b"0\r\n\r\n")
+                worker.claim_finished(rid)
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away: stop generating, free the slot
+                worker.cancel(rid)
 
     return Handler
 
@@ -219,7 +285,9 @@ def main():
         EngineConfig(max_batch_size=args.max_batch_size,
                      max_input_len=args.max_input_len,
                      max_seq_len=args.max_seq_len),
-        sampling=SamplingConfig(end_id=tokenizer.eos_token_id or -1),
+        sampling=SamplingConfig(
+            end_id=(tokenizer.eos_token_id
+                    if tokenizer.eos_token_id is not None else -1)),
         kv_scales=kv_scales, decode_chunk=args.decode_chunk,
         prefill_chunk=args.prefill_chunk,
         per_request_sampling=args.per_request_sampling,

@@ -95,7 +95,9 @@ def main():
                      max_seq_len=args.max_input_len + args.output_len,
                      prefill_buckets=(args.max_input_len,)),
         kv_scales=kv_scales)
-    scfg = SamplingConfig(top_k=1, end_id=tokenizer.eos_token_id or 2,
+    scfg = SamplingConfig(top_k=1, end_id=(tokenizer.eos_token_id
+                                  if tokenizer.eos_token_id is not None
+                                  else 2),
                           pad_id=tokenizer.pad_token_id or 0)
 
     # warmup compile outside the timed region (TRT pays this at build time)

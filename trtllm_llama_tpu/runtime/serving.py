@@ -84,7 +84,8 @@ class ServingEngine:
                  per_request_sampling: bool = False,
                  packed_prefill: bool = False,
                  prefill_chunk: Optional[int] = None,
-                 return_logprobs: bool = False):
+                 return_logprobs: bool = False,
+                 cache_headroom: int = 0):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
@@ -168,8 +169,11 @@ class ServingEngine:
                                 self.trash_block, jnp.int32))
         else:
             self.scheduler = Scheduler(self.max_slots, engine_cfg.max_seq_len)
+            # cache_headroom: extra positions past max_seq_len (speculative
+            # serving's verify slab writes up to gamma past the budget)
             self.caches = self.model.init_caches(
-                cfg, self.n_rows, engine_cfg.max_seq_len, kv_scales)
+                cfg, self.n_rows, engine_cfg.max_seq_len + cache_headroom,
+                kv_scales)
         self._kv_scales = kv_scales
         # per-slot device state ([n_rows]; the trash row is never active)
         self.slot_lens = jnp.zeros((self.n_rows,), jnp.int32)

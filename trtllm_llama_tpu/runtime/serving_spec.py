@@ -50,7 +50,8 @@ class SpeculativeServingEngine(ServingEngine):
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, engine_cfg, sampling=scfg,
                          kv_scales=kv_scales, decode_chunk=decode_chunk,
-                         model=model, return_logprobs=return_logprobs)
+                         model=model, return_logprobs=return_logprobs,
+                         cache_headroom=int(gamma) + 1)
         if not hasattr(self.model, "forward_extend"):
             raise ValueError("target family lacks forward_extend")
         from ..models import by_architecture
@@ -65,10 +66,9 @@ class SpeculativeServingEngine(ServingEngine):
                 self.draft_params = fuse(self.draft_params)
         self.gamma = int(gamma)
         self._dkv_scales = draft_kv_scales
-        # both caches need γ+1 headroom past max_seq_len for the verify slab
+        # target cache got its γ+1 verify-slab headroom via cache_headroom
+        # (no transient double allocation); the draft cache matches
         max_len = engine_cfg.max_seq_len + self.gamma + 1
-        self.caches = self.model.init_caches(cfg, self.n_rows, max_len,
-                                             kv_scales)
         self.draft_caches = self.draft_model.init_caches(
             draft_cfg, self.n_rows, max_len, draft_kv_scales)
         self.slot_draft_pos = jnp.zeros((self.n_rows,), jnp.int32)
