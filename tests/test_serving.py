@@ -386,3 +386,41 @@ def test_serving_moe_family():
     for rid, p in zip(rids, prompts):
         ref = offline.generate([p], sampling=scfg, max_new_tokens=5)
         assert done[rid].output_ids == ref.output_ids[0].tolist()
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_sharded_serving_matches_single_device(tiny_setup, paged):
+    """tp-sharded serving (params/caches NamedSharded, GSPMD-partitioned
+    step fns): every request's tokens identical to single-device serving."""
+    from trtllm_llama_tpu.parallel.mapping import Mapping
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 9, 12)]
+    ref_eng = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                            paged=paged, block_size=8)
+    r_ids = [ref_eng.submit(p, 5) for p in prompts]
+    ref = ref_eng.run_to_completion()
+
+    mapping = Mapping(tp=2)
+    mesh = mapping.make_mesh(np.array(jax.devices()[:2]))
+    eng = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                        paged=paged, block_size=8, mapping=mapping,
+                        mesh=mesh)
+    s_ids = [eng.submit(p, 5) for p in prompts]
+    done = eng.run_to_completion()
+    for ri, si in zip(r_ids, s_ids):
+        assert done[si].output_ids == ref[ri].output_ids
+
+
+def test_sharded_serving_rejects_batch_axes(tiny_setup):
+    from trtllm_llama_tpu.parallel.mapping import Mapping
+    if jax.device_count() < 4:
+        pytest.skip("needs multiple devices")
+    cfg, params, ecfg = tiny_setup
+    mapping = Mapping(dp=2, tp=2)
+    mesh = mapping.make_mesh(np.array(jax.devices()[:4]))
+    with pytest.raises(ValueError, match="slot pool"):
+        ServingEngine(cfg, params, ecfg, mapping=mapping, mesh=mesh)

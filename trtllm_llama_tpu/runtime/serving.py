@@ -85,7 +85,8 @@ class ServingEngine:
                  packed_prefill: bool = False,
                  prefill_chunk: Optional[int] = None,
                  return_logprobs: bool = False,
-                 cache_headroom: int = 0):
+                 cache_headroom: int = 0,
+                 mapping=None, mesh=None):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()
@@ -96,8 +97,25 @@ class ServingEngine:
             from ..models import by_architecture
             self.model = by_architecture(getattr(cfg, "architecture",
                                                  "llama"))
+        # sharded serving: a tp (or ep×tp for MoE) mesh — params/caches get
+        # NamedShardings and GSPMD partitions the same jitted step fns.
+        # The batch axis is the slot pool (replicated; dp makes no sense
+        # over one shared request queue), so dp/sp/pp are rejected here.
+        from ..parallel.mapping import Mapping
+        self.mapping = mapping or Mapping()
+        self.mesh = mesh
+        if mesh is not None and (self.mapping.dp * self.mapping.sp
+                                 * self.mapping.pp != 1):
+            raise ValueError("sharded serving supports tp (and ep) axes "
+                             "only — the slot pool is the batch")
         self.params = params
-        if not os.environ.get("TLLM_NO_FUSE_QKV"):
+        if mesh is not None:
+            from ..parallel.sharding import param_shardings
+            self.params = jax.device_put(
+                params, param_shardings(cfg, mesh, params))
+            if hasattr(self.model, "bind_mesh"):
+                self.model.bind_mesh(mesh)
+        elif not os.environ.get("TLLM_NO_FUSE_QKV"):
             fuse = getattr(self.model, "fuse_qkv_params", None)
             if fuse is not None:   # single-host serving: same fusion as
                 self.params = fuse(self.params)   # GenerationSession
@@ -175,6 +193,16 @@ class ServingEngine:
                 cfg, self.n_rows, engine_cfg.max_seq_len + cache_headroom,
                 kv_scales)
         self._kv_scales = kv_scales
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            kv_spec = P(None, None, "tp", None, None)   # heads over tp
+            self.caches = jax.device_put(
+                self.caches,
+                jax.tree.map(
+                    lambda a: NamedSharding(
+                        mesh, kv_spec if a.ndim == 5
+                        else P(*([None] * a.ndim))),
+                    self.caches))
         # per-slot device state ([n_rows]; the trash row is never active)
         self.slot_lens = jnp.zeros((self.n_rows,), jnp.int32)
         self.slot_tokens = jnp.zeros((self.n_rows,), jnp.int32)
@@ -641,7 +669,8 @@ class ServingEngine:
         """One engine step: admit+prefill new requests (batched per bucket),
         then decode up to decode_chunk tokens for all active slots."""
         from ..ops.registry import KERNELS
-        KERNELS["mesh"] = None        # serving is single-device (for now)
+        KERNELS["mesh"] = self.mesh   # sharded paths under a mesh; None =
+        # single-device (bare Pallas kernels allowed)
         finished: List[FinishedRequest] = []
 
         admitted = self.scheduler.admit()
