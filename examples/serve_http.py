@@ -270,6 +270,10 @@ def main():
     p.add_argument("--prefill_chunk", type=int, default=None)
     p.add_argument("--per_request_sampling", action="store_true")
     p.add_argument("--logprobs", action="store_true")
+    p.add_argument("--draft_engine_dir", default=None,
+                   help="engine dir of a small draft model: serve with "
+                        "speculative decoding (greedy-only)")
+    p.add_argument("--gamma", type=int, default=4)
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -280,18 +284,28 @@ def main():
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_dir)
     cfg, params, kv_scales = load_engine(args.engine_dir)
-    engine = ServingEngine(
-        cfg, params,
-        EngineConfig(max_batch_size=args.max_batch_size,
-                     max_input_len=args.max_input_len,
-                     max_seq_len=args.max_seq_len),
-        sampling=SamplingConfig(
-            end_id=(tokenizer.eos_token_id
-                    if tokenizer.eos_token_id is not None else -1)),
-        kv_scales=kv_scales, decode_chunk=args.decode_chunk,
-        prefill_chunk=args.prefill_chunk,
-        per_request_sampling=args.per_request_sampling,
-        return_logprobs=args.logprobs)
+    ecfg = EngineConfig(max_batch_size=args.max_batch_size,
+                        max_input_len=args.max_input_len,
+                        max_seq_len=args.max_seq_len)
+    scfg = SamplingConfig(
+        end_id=(tokenizer.eos_token_id
+                if tokenizer.eos_token_id is not None else -1))
+    if args.draft_engine_dir:
+        from trtllm_llama_tpu.runtime.serving_spec import (
+            SpeculativeServingEngine)
+        dcfg, dparams, dkv = load_engine(args.draft_engine_dir)
+        engine = SpeculativeServingEngine(
+            cfg, params, dcfg, dparams, ecfg, gamma=args.gamma,
+            sampling=scfg, kv_scales=kv_scales, draft_kv_scales=dkv,
+            decode_chunk=args.decode_chunk,
+            return_logprobs=args.logprobs)
+    else:
+        engine = ServingEngine(
+            cfg, params, ecfg, sampling=scfg,
+            kv_scales=kv_scales, decode_chunk=args.decode_chunk,
+            prefill_chunk=args.prefill_chunk,
+            per_request_sampling=args.per_request_sampling,
+            return_logprobs=args.logprobs)
     srv, _ = build_server(engine, tokenizer, args.port)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
           f"(POST /generate, GET /health)")
