@@ -20,8 +20,9 @@ dispatch (GShard one-hot) is the documented upgrade path if expert counts
 grow past the FLOP break-even.
 
 Attention, KV cache, RoPE, sampling, sessions: reused from llama verbatim
-(GenerationSession(model=moe), same stacked-scan engine). Quantization of
-expert weights is not wired yet (fp16/bf16/fp32 experts only).
+(GenerationSession(model=moe), same stacked-scan engine). Expert weights
+quantize to int8 weight-only (the einsums run on raw int8 with post-dot
+per-channel scales); SQ / int4 / KV-quant are not wired for MoE.
 """
 
 from __future__ import annotations
