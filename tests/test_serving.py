@@ -424,3 +424,50 @@ def test_sharded_serving_rejects_batch_axes(tiny_setup):
     mesh = mapping.make_mesh(np.array(jax.devices()[:4]))
     with pytest.raises(ValueError, match="slot pool"):
         ServingEngine(cfg, params, ecfg, mapping=mapping, mesh=mesh)
+
+
+def test_serving_randomized_stress(tiny_setup):
+    """Randomized interleaving of submits/cancels/steps across prompt
+    lengths and budgets: every finished request must still match the
+    offline session exactly, and the pool must drain clean."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(123)
+    engine = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=2,
+                           return_logprobs=True)
+    offline = GenerationSession(cfg, params, ecfg)
+
+    prompts, budgets, rids = {}, {}, []
+    done = {}
+    cancelled = set()
+    for round_ in range(12):
+        # random submissions
+        for _ in range(int(rng.integers(0, 3))):
+            n = int(rng.integers(2, 14))
+            p = rng.integers(3, 250, (n,)).tolist()
+            b = int(rng.integers(1, 7))
+            rid = engine.submit(p, b)
+            prompts[rid], budgets[rid] = p, b
+            rids.append(rid)
+        # occasional cancel of a random live request
+        if rids and rng.random() < 0.3:
+            victim = rids[int(rng.integers(0, len(rids)))]
+            if victim not in done and victim not in cancelled:
+                engine.cancel(victim)
+                cancelled.add(victim)
+        for fr in engine.step():
+            done[fr.request_id] = fr
+    for fr in engine.run_to_completion().values():
+        done[fr.request_id] = fr
+
+    assert not engine.scheduler.has_work
+    completed = [r for r in rids if r not in cancelled]
+    assert set(done) == set(completed)
+    for rid in completed:
+        ref = offline.generate([prompts[rid]], sampling=scfg,
+                               max_new_tokens=budgets[rid],
+                               return_logprobs=True)
+        assert done[rid].output_ids == ref.output_ids[0].tolist(), rid
+        np.testing.assert_allclose(
+            done[rid].logprobs,
+            ref.logprobs[0][:len(done[rid].logprobs)], atol=1e-4)
