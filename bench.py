@@ -39,6 +39,10 @@ _MAX_ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "3"))
 
 def _emit(payload: dict) -> None:
     """Print the one JSON line the driver parses (always, even on failure)."""
+    if os.environ.get("BENCH_TINY"):     # smoke runs must not look like 7B
+        payload["metric"] = payload["metric"].replace(
+            "LLaMA-7B", "TINY-SMOKE")
+        payload["vs_baseline"] = None
     print(json.dumps(payload))
     sys.stdout.flush()
 
@@ -63,6 +67,17 @@ _BASELINE_TASK_A_TOKS_PER_S = {
     "fp8": 2000 / 66.031,
     "fp8kv": 2000 / 66.031,
 }
+
+
+def _model_cfg(**kw):
+    from trtllm_llama_tpu.config import ModelConfig
+    if os.environ.get("BENCH_TINY"):
+        # smoke knob: run the ENTIRE bench flow on a tiny model (useful on
+        # CPU / when validating the driver command without a chip); numbers
+        # are meaningless, the point is exercising the exact code path
+        kw.pop("max_position_embeddings", None)
+        return ModelConfig.tiny(**kw)
+    return ModelConfig.llama_7b(**kw)
 
 
 def build_engine(config_name: str, batch: int, max_len: int):
@@ -90,8 +105,8 @@ def build_engine(config_name: str, batch: int, max_len: int):
     # long-context runs (BENCH_IN past LLaMA-1's 2048) extend the RoPE table;
     # prefill streams K/V blocks (streaming_prefill_attention) past S=2048.
     n_pos = max(2048, 1 << (max_len - 1).bit_length())
-    cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group,
-                               max_position_embeddings=n_pos)
+    cfg = _model_cfg(quant_mode=qm, group_size=group,
+                     max_position_embeddings=n_pos)
 
     # Random weights born quantized — never materializes the fp 7B model
     # (decode throughput is weight-value independent).
@@ -127,8 +142,8 @@ def serving_bench(config_name: str):
     qm = {"int8": QuantMode.use_weight_only(False),
           "int4": QuantMode.use_weight_only(True, per_group=True),
           "fp16": QuantMode(0)}[config_name]
-    cfg = ModelConfig.llama_7b(quant_mode=qm,
-                               group_size=128 if config_name == "int4" else 0)
+    cfg = _model_cfg(quant_mode=qm,
+                     group_size=128 if config_name == "int4" else 0)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm)
     ecfg = EngineConfig(max_batch_size=slots, max_input_len=in_len,
                         max_seq_len=in_len + out_len + 8,
@@ -228,7 +243,7 @@ def speculative_bench(config_name: str):
           "int4": QuantMode.use_weight_only(True, per_group=True),
           "fp16": QuantMode(0)}[config_name]
     group = 128 if config_name == "int4" else 0
-    cfg = ModelConfig.llama_7b(quant_mode=qm, group_size=group)
+    cfg = _model_cfg(quant_mode=qm, group_size=group)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm,
                                           group)
     if draft_kind == "self":
