@@ -35,8 +35,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, alibi_slopes, fused_decode_attention_at, prefill_attention,
-    write_kv_prefill_at,
+    KVCache, alibi_slopes, extend_attention_at, fused_decode_attention_at,
+    prefill_attention, write_kv_extend_at, write_kv_prefill_at,
 )
 from ..ops.linear import dense, embedding_lookup
 from ..ops.norm import layer_norm
@@ -169,7 +169,7 @@ class DecoderFamily:
 
     # -- blocks --------------------------------------------------------
     def _block(self, cfg, lw, layer, x, cos, sin, alibi, caches, seq_lens,
-               decode):
+               decode, extend=None):
         spec = self.spec
         idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0,
                                                      keepdims=False)
@@ -188,7 +188,14 @@ class DecoderFamily:
         if spec.rope != "none":
             q = _apply_rope(spec, cfg, q, cos, sin)
             k = _apply_rope(spec, cfg, k, cos, sin)
-        if decode:
+        if extend is not None:
+            # multi-token generation slab at per-row offsets (chunked
+            # prefill / speculative verification; llama forward_extend
+            # semantics)
+            caches = write_kv_extend_at(caches, layer, k, v, extend)
+            attn = extend_attention_at(q, caches, layer, extend,
+                                       alibi=alibi)
+        elif decode:
             attn, caches = fused_decode_attention_at(
                 q, k, v, caches, layer, seq_lens, alibi=alibi)
         else:
@@ -219,13 +226,13 @@ class DecoderFamily:
         return out, caches
 
     def _run_layers(self, cfg, params, x, cos, sin, alibi, caches, seq_lens,
-                    decode):
+                    decode, extend=None):
         lw = params["layers"]
 
         def body(carry, layer):
             x, caches = carry
             x, caches = self._block(cfg, lw, layer, x, cos, sin, alibi,
-                                    caches, seq_lens, decode)
+                                    caches, seq_lens, decode, extend)
             return (x, caches), None
 
         (x, caches), _ = jax.lax.scan(body, (x, caches),
@@ -278,6 +285,23 @@ class DecoderFamily:
         last = jnp.take_along_axis(
             x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         return self._head(params, cfg, last), caches
+
+    def forward_extend(self, params, cfg: ModelConfig, tokens, start,
+                       caches: KVCache):
+        """Multi-token generation slab: tokens [B, T], row (b, i) at
+        position start[b] + i (llama.forward_extend contract — enables
+        chunked prefill and speculative verification for this family).
+        Returns (logits [B, T, V], caches)."""
+        b, t = tokens.shape
+        pos = start[:, None] + jnp.arange(t)[None]            # [B, T]
+        cos, sin = self._pos_tables(cfg, pos)
+        x = self._embed(params, cfg, tokens, pos)
+        x, caches = self._run_layers(cfg, params, x, cos, sin,
+                                     self._alibi(cfg), caches, None,
+                                     False, extend=start)
+        x = layer_norm(x, params["final_ln_w"], params["final_ln_b"],
+                       cfg.rms_norm_eps)
+        return self._head(params, cfg, x), caches
 
     def forward_decode(self, params, cfg: ModelConfig, tokens, positions,
                        caches: KVCache):

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, fused_decode_attention_at, prefill_attention,
-    write_kv_prefill_at,
+    KVCache, extend_attention_at, fused_decode_attention_at,
+    prefill_attention, write_kv_extend_at, write_kv_prefill_at,
 )
 from ..ops.linear import dense, embedding_lookup, prompt_tuning_lookup
 from ..ops.norm import layer_norm
@@ -80,7 +80,7 @@ def _split_heads(x, n, hd):
     return x.reshape(*x.shape[:-1], n, hd)
 
 
-def _block(cfg, lw, layer, x, caches, seq_lens, decode):
+def _block(cfg, lw, layer, x, caches, seq_lens, decode, extend=None):
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
     h = layer_norm(x, idx(lw["ln1_w"]), idx(lw["ln1_b"]))
     q = _split_heads(dense(h, lw["wq"], layer=layer) + idx(lw["bq"]),
@@ -89,7 +89,10 @@ def _block(cfg, lw, layer, x, caches, seq_lens, decode):
                      cfg.num_kv_heads, cfg.head_dim)
     v = _split_heads(dense(h, lw["wv"], layer=layer) + idx(lw["bv"]),
                      cfg.num_kv_heads, cfg.head_dim)
-    if decode:
+    if extend is not None:
+        caches = write_kv_extend_at(caches, layer, k, v, extend)
+        attn = extend_attention_at(q, caches, layer, extend)
+    elif decode:
         attn, caches = fused_decode_attention_at(q, k, v, caches, layer,
                                                  seq_lens)
     else:
@@ -106,12 +109,13 @@ def _block(cfg, lw, layer, x, caches, seq_lens, decode):
     return out, caches
 
 
-def _run_layers(cfg, params, x, caches, seq_lens, decode):
+def _run_layers(cfg, params, x, caches, seq_lens, decode, extend=None):
     lw = params["layers"]
 
     def body(carry, layer):
         x, caches = carry
-        x, caches = _block(cfg, lw, layer, x, caches, seq_lens, decode)
+        x, caches = _block(cfg, lw, layer, x, caches, seq_lens, decode,
+                           extend)
         return (x, caches), None
 
     (x, caches), _ = jax.lax.scan(body, (x, caches),
@@ -138,6 +142,21 @@ def forward_prefill(params, cfg: ModelConfig, input_ids, seq_lens,
     last = jnp.take_along_axis(
         x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     return dense(last, params["lm_head"], jnp.float32), caches
+
+
+def forward_extend(params, cfg: ModelConfig, tokens, start,
+                   caches: KVCache):
+    """Multi-token generation slab (llama.forward_extend contract):
+    tokens [B, T], row (b, i) at position start[b] + i. Enables chunked
+    prefill and speculative verification for the GPT family."""
+    b, t = tokens.shape
+    pos = (start[:, None] + jnp.arange(t)[None]).astype(jnp.int32)
+    x = (embedding_lookup(params["embed"], tokens, cfg.jnp_dtype)
+         + embedding_lookup(params["pos_embed"], pos, cfg.jnp_dtype))
+    x, caches = _run_layers(cfg, params, x, caches, None, False,
+                            extend=start)
+    x = layer_norm(x, params["final_ln_w"], params["final_ln_b"])
+    return dense(x, params["lm_head"], jnp.float32), caches
 
 
 def forward_decode(params, cfg: ModelConfig, tokens, positions,

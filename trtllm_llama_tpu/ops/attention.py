@@ -157,12 +157,15 @@ def write_kv_extend_at(cache: KVCache, layer, k, v, start) -> KVCache:
 
 
 def extend_attention_at(q, cache: KVCache, layer, start,
-                        scale: Optional[float] = None):
+                        scale: Optional[float] = None,
+                        alibi: Optional[jnp.ndarray] = None):
     """Causal attention for a T-token slab against layer `layer`.
 
     q: [B, T, H_q, D]; row (b, i) sits at position start[b] + i and may
     attend cache positions <= start[b] + i (its own K/V must already be
-    written — call write_kv_extend_at first). Returns [B, T, H_q, D].
+    written — call write_kv_extend_at first). alibi: optional [H_q] slopes
+    (key-position bias form — row-constant shifts cancel in softmax).
+    Returns [B, T, H_q, D].
 
     This is the target-model verification step of speculative decoding: one
     forward over [last_committed, draft_1..draft_γ] replaces γ+1 sequential
@@ -179,6 +182,9 @@ def extend_attention_at(q, cache: KVCache, layer, start,
                         preferred_element_type=jnp.float32) * scale
     rows = start[:, None] + jnp.arange(t)[None]                  # [B, T]
     cols = jnp.arange(s_max)
+    if alibi is not None:
+        logits = logits + (alibi.reshape(1, hq, 1, 1)
+                           * cols.reshape(1, 1, 1, s_max))
     mask = cols[None, None] <= rows[:, :, None]                  # [B, T, S]
     logits = jnp.where(mask[:, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
