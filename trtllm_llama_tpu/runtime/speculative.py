@@ -97,8 +97,9 @@ class SpeculativeSession:
                                         "llama")))
         if not hasattr(self.model, "forward_extend"):
             raise ValueError(
-                "speculative verification needs the target model to "
-                "provide forward_extend (llama family only for now)")
+                "speculative verification needs the target model family to "
+                "provide forward_extend (llama/gpt/gptj/gptneox/bloom/opt "
+                "do; this one does not)")
         self.kv_scales = kv_scales
         self.draft_kv_scales = draft_kv_scales
         self.params = params
