@@ -117,3 +117,43 @@ def test_concurrent_requests(server):
         ref = offline.generate([p], sampling=SamplingConfig(end_id=-1),
                                max_new_tokens=5)
         assert r is not None and r["output_ids"] == ref.output_ids[0].tolist()
+
+
+def test_http_over_speculative_engine():
+    """build_server is engine-agnostic: serve a SpeculativeServingEngine
+    and get offline-identical greedy outputs over HTTP."""
+    import importlib.util
+    import os
+    import threading
+    from trtllm_llama_tpu.runtime.serving_spec import (
+        SpeculativeServingEngine)
+
+    spec_file = importlib.util.spec_from_file_location(
+        "serve_http2", os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "serve_http.py"))
+    mod = importlib.util.module_from_spec(spec_file)
+    spec_file.loader.exec_module(mod)
+
+    cfg = ModelConfig.tiny(dtype="float32")
+    dcfg = ModelConfig.tiny(dtype="float32", num_layers=1, hidden_size=64,
+                            intermediate_size=128, num_heads=2,
+                            num_kv_heads=2, head_dim=32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    dparams = llama.init_params(dcfg, jax.random.PRNGKey(1))
+    ecfg = EngineConfig(max_batch_size=2, max_input_len=16, max_seq_len=32)
+    engine = SpeculativeServingEngine(
+        cfg, params, dcfg, dparams, ecfg, gamma=3,
+        sampling=SamplingConfig(end_id=-1), decode_chunk=4)
+    srv, worker = mod.build_server(engine, _Tok(), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        prompt = np.random.default_rng(3).integers(3, 250, (6,)).tolist()
+        out = _post(url, {"input_ids": prompt, "max_new_tokens": 6})
+        ref = GenerationSession(cfg, params, ecfg).generate(
+            [prompt], sampling=SamplingConfig(end_id=-1), max_new_tokens=6)
+        assert out["output_ids"] == ref.output_ids[0].tolist()
+    finally:
+        srv.shutdown()
+        worker.shutdown()
