@@ -103,3 +103,42 @@ def test_chunked_prefill_serving_family():
     done = eng.run_to_completion()
     for ri, si in zip(r, s):
         assert done[si].output_ids == ref[ri].output_ids
+
+
+def test_chatglm_extend_and_speculative():
+    """ChatGLM 2D-rotary extend: slab == sequential decode, and self-draft
+    speculative == plain greedy (prefix-LM semantics preserved)."""
+    from trtllm_llama_tpu.models import chatglm
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = chatglm.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(6)
+    B, L, T = 2, 7, 3
+    ids = jnp.asarray(rng.integers(3, 250, (B, L)))
+    lens = jnp.asarray([7, 5], jnp.int32)
+    toks = jnp.asarray(rng.integers(3, 250, (B, T)))
+
+    c1 = chatglm.init_caches(cfg, B, 64)
+    _, c1 = chatglm.forward_prefill(params, cfg, ids, lens, c1)
+    seq_logits, pos = [], lens
+    for i in range(T):
+        lg, c1 = chatglm.forward_decode(params, cfg, toks[:, i], pos, c1)
+        seq_logits.append(lg)
+        pos = pos + 1
+    seq_logits = jnp.stack(seq_logits, 1)
+
+    c2 = chatglm.init_caches(cfg, B, 64)
+    _, c2 = chatglm.forward_prefill(params, cfg, ids, lens, c2)
+    ext_logits, c2 = chatglm.forward_extend(params, cfg, toks, lens, c2)
+    np.testing.assert_allclose(np.asarray(ext_logits),
+                               np.asarray(seq_logits), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(c1.kv.k), np.asarray(c2.kv.k),
+                               atol=1e-5)
+
+    prompts = [rng.integers(3, 250, (9,)).tolist(),
+               rng.integers(3, 250, (5,)).tolist()]
+    ref = GenerationSession(cfg, params, ECFG, model=chatglm).generate(
+        prompts, sampling=SCFG, max_new_tokens=10)
+    spec = SpeculativeSession(cfg, params, cfg, params, ECFG, gamma=3,
+                              model=chatglm, draft_model=chatglm)
+    got = spec.generate(prompts, sampling=SCFG, max_new_tokens=10)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import (
-    KVCache, fused_decode_attention_at, prefill_attention,
-    write_kv_prefill_at,
+    KVCache, extend_attention_at, fused_decode_attention_at,
+    prefill_attention, write_kv_extend_at, write_kv_prefill_at,
 )
 from ..ops.linear import dense, embedding_lookup
 from ..ops.norm import layer_norm
@@ -111,7 +111,7 @@ def _rope_2d(cfg: ModelConfig, x, pos0, pos1):
 
 
 def _block(cfg: ModelConfig, lw, layer, x, pos0, pos1, caches: ChatGLMCache,
-           seq_lens, decode: bool):
+           seq_lens, decode: bool, extend=None):
     idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
     alpha = _alpha(cfg)
     h, hd = cfg.num_heads, cfg.head_dim
@@ -128,7 +128,13 @@ def _block(cfg: ModelConfig, lw, layer, x, pos0, pos1, caches: ChatGLMCache,
     k = _rope_2d(cfg, k, pos0, pos1)
 
     kv = caches.kv
-    if decode:
+    if extend is not None:
+        # generation slab: rows sit past the context, so causal masking
+        # over absolute positions preserves the prefix-LM contract (the
+        # bidirectional region is entirely below every slab row)
+        kv = write_kv_extend_at(kv, layer, k, v, extend)
+        attn = extend_attention_at(q, kv, layer, extend)
+    elif decode:
         attn, kv = fused_decode_attention_at(q, k, v, kv, layer, seq_lens)
     else:
         kv = write_kv_prefill_at(kv, layer, k, v)
@@ -149,13 +155,14 @@ def _block(cfg: ModelConfig, lw, layer, x, pos0, pos1, caches: ChatGLMCache,
     return m_in * alpha + mlp, caches
 
 
-def _run_layers(cfg, params, x, pos0, pos1, caches, seq_lens, decode):
+def _run_layers(cfg, params, x, pos0, pos1, caches, seq_lens, decode,
+                extend=None):
     lw = params["layers"]
 
     def body(carry, layer):
         x, caches = carry
         x, caches = _block(cfg, lw, layer, x, pos0, pos1, caches, seq_lens,
-                           decode)
+                           decode, extend)
         return (x, caches), None
 
     (x, caches), _ = jax.lax.scan(body, (x, caches),
@@ -193,6 +200,24 @@ def forward_prefill(params, cfg: ModelConfig, input_ids, seq_lens,
     x_last = jnp.take_along_axis(x, last[:, None, None].astype(jnp.int32),
                                  axis=1)[:, 0]
     return _head(params, cfg, x_last), caches
+
+
+def forward_extend(params, cfg: ModelConfig, tokens, start,
+                   caches: ChatGLMCache):
+    """Multi-token generation slab (llama.forward_extend contract):
+    tokens [B, T] at absolute positions start[b] + i, all past the
+    context. 2D channels: pos0 = frozen mask_pos; pos1 = block position
+    (abs - ctx_len + 1). Returns (logits [B, T, V], caches)."""
+    b, t = tokens.shape
+    x = embedding_lookup(params["embedding"], tokens,
+                         out_dtype=cfg.jnp_dtype)
+    pos_abs = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    pos0 = jnp.broadcast_to(caches.mask_pos[:, None], (b, t))
+    pos1 = jnp.maximum(pos_abs - caches.ctx_lens[:, None] + 1, 0)
+    x, caches = _run_layers(cfg, params, x, pos0.astype(jnp.int32),
+                            pos1.astype(jnp.int32), caches, None,
+                            decode=False, extend=start)
+    return _head(params, cfg, x), caches
 
 
 def forward_decode(params, cfg: ModelConfig, tokens, positions,
