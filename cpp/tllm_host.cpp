@@ -207,6 +207,9 @@ struct KVMgr {
   int32_t max_blocks_per_seq;
   std::vector<Block> blocks;
   std::vector<int32_t> free_list;   // stack of block indices, top = back
+  // (src, dst) copy directives from copy-on-write tail splits; the device
+  // copies the partial tail before its next write (mirrors the Python spec)
+  std::vector<std::pair<int32_t, int32_t>> pending_copies;
   struct Seq {
     std::vector<int32_t> blocks;
     int32_t length = 0;
@@ -251,6 +254,7 @@ int32_t tllm_kvmgr_add_seq(void* h, int64_t seq_id, int32_t context_len) {
   if (m->seqs.count(seq_id)) return -2;
   KVMgr::Seq st;
   int32_t need = m->blocks_needed(context_len);
+  if (need > m->max_blocks_per_seq) return -3;
   for (int32_t i = 0; i < need; ++i) {
     int32_t b = m->alloc();
     if (b < 0) {                       // roll back partial allocation
@@ -296,10 +300,26 @@ int32_t tllm_kvmgr_append_token(void* h, int64_t seq_id) {
       if (b < 0) return -1;
       m->release(tail);
       st.blocks.back() = b;
+      m->pending_copies.emplace_back(tail, b);
     }
   }
   st.length = new_len;
   return 0;
+}
+
+// drains up to cap (src, dst) pairs into out (flattened); returns count
+int32_t tllm_kvmgr_pop_pending(void* h, int32_t* out, int32_t cap) {
+  auto* m = static_cast<KVMgr*>(h);
+  int32_t n = 0;
+  for (auto& pr : m->pending_copies) {
+    if (n >= cap) break;
+    out[2 * n] = pr.first;
+    out[2 * n + 1] = pr.second;
+    ++n;
+  }
+  m->pending_copies.erase(m->pending_copies.begin(),
+                          m->pending_copies.begin() + n);
+  return n;
 }
 
 void tllm_kvmgr_remove_seq(void* h, int64_t seq_id) {

@@ -134,7 +134,8 @@ def test_kvmgr_equivalence_randomized():
                 py.remove_sequence(sid)
                 cc.remove_sequence(sid)
         finally:
-            assert py.blocks.free_blocks == cc.free_blocks, step
+            assert py.blocks.free_blocks == cc.free_blocks
+            assert py.pop_pending_copies() == cc.pop_pending_copies(), step
             if live:
                 np.testing.assert_array_equal(
                     py.block_table(live), cc.block_table(live))

@@ -89,3 +89,39 @@ def test_max_blocks_per_seq_enforced():
     mgr.add_sequence(0, 4)
     with pytest.raises(RuntimeError):
         mgr.append_token(0)
+
+
+def test_cow_emits_copy_directive():
+    """Copy-on-write of a shared partially-filled tail must surface a
+    (src, dst) device-copy directive — otherwise the forked sequence's
+    tail tokens point at an uninitialized block."""
+    from trtllm_llama_tpu.runtime.kv_cache_manager import KVCacheManager
+    m = KVCacheManager(num_blocks=8, block_size=4, max_blocks_per_seq=4)
+    m.add_sequence(0, 6)                  # tail block holds 2 of 4 slots
+    m.fork_sequence(0, 1)
+    src_tail = m.block_table([1])[0][1]
+    m.append_token(1)                     # COW: fresh tail for seq 1
+    dst_tail = m.block_table([1])[0][1]
+    assert dst_tail != src_tail
+    assert m.pop_pending_copies() == [(int(src_tail), int(dst_tail))]
+    assert m.pop_pending_copies() == []   # drained
+
+
+def test_add_sequence_rejects_over_long_context():
+    from trtllm_llama_tpu.runtime.kv_cache_manager import KVCacheManager
+    import pytest as _pytest
+    m = KVCacheManager(num_blocks=16, block_size=4, max_blocks_per_seq=2)
+    with _pytest.raises(RuntimeError, match="max_blocks_per_seq"):
+        m.add_sequence(0, 12)
+    assert m.blocks.free_blocks == 16     # nothing leaked
+
+
+def test_fork_rejects_duplicate_dst():
+    from trtllm_llama_tpu.runtime.kv_cache_manager import KVCacheManager
+    import pytest as _pytest
+    m = KVCacheManager(num_blocks=16, block_size=4, max_blocks_per_seq=4)
+    m.add_sequence(0, 4)
+    m.add_sequence(1, 4)
+    with _pytest.raises(ValueError):
+        m.fork_sequence(0, 1)
+    assert m.blocks.free_blocks == 14     # no leak from the rejected fork

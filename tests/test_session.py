@@ -111,3 +111,34 @@ def test_batch_with_ragged_lengths(tiny_engine):
                            sampling=SamplingConfig(end_id=-1))
     np.testing.assert_array_equal(out.output_ids[0], solo_a.output_ids[0])
     np.testing.assert_array_equal(out.output_ids[1], solo_b.output_ids[0])
+
+
+def test_generate_rejects_seq_len_overflow():
+    """prompt + max_new_tokens past max_seq_len must fail loudly — decode
+    writes past the cache end are silently dropped by the scatter and
+    would return garbage tokens."""
+    import pytest as _pytest
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    sess = GenerationSession(
+        cfg, params, EngineConfig(max_input_len=16, max_seq_len=20))
+    ids = np.random.default_rng(0).integers(3, 250, (1, 16))
+    with _pytest.raises(ValueError, match="max_seq_len"):
+        sess.generate(ids, max_new_tokens=8,
+                      sampling=SamplingConfig(end_id=-1))
+
+
+def test_top_k1_with_top_p_is_argmax():
+    """top_k=1 + top_p>0 is not greedy by the is_greedy predicate, but the
+    k=1 filter must still apply: the sample is always the argmax."""
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    sess = GenerationSession(
+        cfg, params, EngineConfig(max_input_len=16, max_seq_len=48))
+    ids = np.random.default_rng(1).integers(3, 250, (1, 8))
+    greedy = sess.generate(ids, max_new_tokens=6,
+                           sampling=SamplingConfig(end_id=-1))
+    k1 = sess.generate(ids, max_new_tokens=6,
+                       sampling=SamplingConfig(end_id=-1, top_k=1,
+                                               top_p=0.9), seed=7)
+    np.testing.assert_array_equal(k1.output_ids, greedy.output_ids)

@@ -106,9 +106,11 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
         cand = jnp.where(finished[:, :, None], frozen, cont)
 
         flat = cand.reshape(b, w * v)
-        # 2W candidates guard against all-finished collapse (reference takes
-        # 2*beam_width in beamSearchTopkKernels for the same reason), then
-        # keep the top W.
+        # Top W over all W*V candidates. The reference expands 2*beam_width
+        # (beamSearchTopkKernels) because its finished beams leave the pool;
+        # here finished beams STAY as frozen pad-continuation candidates at
+        # their final score, so W is sufficient — a frozen beam outranks
+        # worse continuations and keeps its slot.
         top_s, top_i = jax.lax.top_k(flat, w)             # [B, W]
         parent = (top_i // v).astype(jnp.int32)           # [B, W]
         tok = (top_i % v).astype(jnp.int32)

@@ -56,6 +56,7 @@ def _load():
         "tllm_kvmgr_remove_seq": ([vp, i64], None),
         "tllm_kvmgr_seq_length": ([vp, i64], i32),
         "tllm_kvmgr_block_table": ([vp, p_i64, i32, p_i32], None),
+        "tllm_kvmgr_pop_pending": ([vp, p_i32, i32], i32),
     }
     for name, (argtypes, restype) in sigs.items():
         fn = getattr(lib, name)
@@ -177,6 +178,14 @@ class CppKVCacheManager:
             raise RuntimeError("KV cache out of blocks")
         if rc == -2:
             raise ValueError(f"sequence {seq_id} already active")
+        if rc == -3:
+            raise RuntimeError("sequence exceeds max_blocks_per_seq")
+
+    def pop_pending_copies(self):
+        import ctypes
+        buf = (ctypes.c_int32 * 256)()
+        n = self._lib.tllm_kvmgr_pop_pending(self._h, buf, 128)
+        return [(int(buf[2 * i]), int(buf[2 * i + 1])) for i in range(n)]
 
     def fork_sequence(self, src_id: int, dst_id: int):
         if self._lib.tllm_kvmgr_fork_seq(self._h, src_id, dst_id) != 0:

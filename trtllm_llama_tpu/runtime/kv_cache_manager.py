@@ -81,11 +81,19 @@ class KVCacheManager:
         self.block_size = block_size
         self.max_blocks_per_seq = max_blocks_per_seq
         self._seqs: Dict[int, SequenceState] = {}
+        # (src_block_idx, dst_block_idx) pairs produced by copy-on-write
+        # tail splits: the DEVICE must copy the partially-filled tail from
+        # src to dst before the next write (pop_pending_copies)
+        self._pending_copies: List[tuple] = []
 
     # ---- lifecycle -----------------------------------------------------
     def add_sequence(self, seq_id: int, context_len: int):
         if seq_id in self._seqs:
             raise ValueError(f"sequence {seq_id} already active")
+        if self._blocks_needed(context_len) > self.max_blocks_per_seq:
+            # reject at admission — otherwise block_table() blows up later,
+            # far from the faulty call
+            raise RuntimeError("sequence exceeds max_blocks_per_seq")
         st = SequenceState(seq_id)
         try:
             for _ in range(self._blocks_needed(context_len)):
@@ -100,6 +108,8 @@ class KVCacheManager:
     def fork_sequence(self, src_id: int, dst_id: int):
         """Beam/prefix sharing: dst references src's blocks (copy-on-write
         happens by allocating a fresh tail block on the next append)."""
+        if dst_id in self._seqs:
+            raise ValueError(f"sequence {dst_id} already active")
         src = self._seqs[src_id]
         st = SequenceState(dst_id)
         for blk in src.blocks:
@@ -123,6 +133,10 @@ class KVCacheManager:
                 new_blk = self.blocks.allocate()  # allocate-first: OOM leaves
                 self.blocks.release(tail)         # state untouched
                 st.blocks[-1] = new_blk
+                # the shared tail already holds this sequence's first
+                # length % block_size tokens — the device must copy them
+                # into the fresh block before the next write
+                self._pending_copies.append((tail.idx, new_blk.idx))
         st.length = new_len
 
     def remove_sequence(self, seq_id: int):
@@ -150,6 +164,16 @@ class KVCacheManager:
             for j, blk in enumerate(self._seqs[sid].blocks):
                 table[row, j] = blk.idx
         return table
+
+    def pop_pending_copies(self) -> List[tuple]:
+        """Drain (src_block, dst_block) copy directives created by
+        copy-on-write tail splits; the caller performs the device-pool
+        copies before its next cache write. (No runtime caller forks yet —
+        the serving engine's per-slot caches don't share blocks — but this
+        keeps the manager, which is also the spec for the C++ twin, a
+        complete COW implementation.)"""
+        out, self._pending_copies = self._pending_copies, []
+        return out
 
     def cow_sources(self) -> Dict[int, int]:
         """Blocks that still share storage (for debug/verification)."""

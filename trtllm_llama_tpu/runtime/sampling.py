@@ -130,7 +130,9 @@ def sample_step(logits, cfg: SamplingConfig, key=None, token_counts=None,
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if cfg.temperature != 1.0:
         logits = logits / cfg.temperature
-    if cfg.top_k > 1:
+    if cfg.top_k >= 1:
+        # k == 1 matters too: with top_p set, is_greedy is False but the
+        # caller still asked for the single best token
         logits = apply_top_k(logits, cfg.top_k)
     if cfg.top_p > 0.0:
         logits = apply_top_p(logits, cfg.top_p)
@@ -269,8 +271,11 @@ def update_token_counts(token_counts, tokens):
 
 
 def init_token_counts(input_ids, seq_lens, vocab_size: int):
-    """Count prompt tokens (padding excluded) for repetition penalties."""
+    """Count prompt tokens (padding excluded) for repetition penalties.
+
+    Scatter-add, not one-hot: a [B, S, V] one-hot is O(B*S*V) HBM (2+ GB at
+    B=8/S=2048/V=32k) where the scatter is O(B*V)."""
     b, s = input_ids.shape
-    valid = jnp.arange(s)[None, :] < seq_lens[:, None]
-    one_hot = jax.nn.one_hot(input_ids, vocab_size, dtype=jnp.int32)
-    return jnp.sum(one_hot * valid[..., None].astype(jnp.int32), axis=1)
+    valid = (jnp.arange(s)[None, :] < seq_lens[:, None]).astype(jnp.int32)
+    counts = jnp.zeros((b, vocab_size), jnp.int32)
+    return counts.at[jnp.arange(b)[:, None], input_ids].add(valid)

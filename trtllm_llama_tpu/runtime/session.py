@@ -227,8 +227,7 @@ class GenerationSession:
             if tail_len:
                 tail = update_tail(tail, tokens)
             out = jnp.full((b, max_new), scfg.pad_id, jnp.int32)
-            out = out.at[:, 0].set(
-                jnp.where(tokens == scfg.end_id, scfg.end_id, tokens))
+            out = out.at[:, 0].set(tokens)
             done = tokens == scfg.end_id
             if scfg.stop_words:
                 done = done | stop_words_matched(tail, scfg.stop_words)
@@ -312,8 +311,9 @@ class GenerationSession:
         the reference's DynamicDecodeLayer output_log_probs contract)."""
         scfg = sampling or SamplingConfig()
         if isinstance(input_ids, (list, tuple)):
-            seq_lens = np.array([len(x) for x in input_ids], np.int32)
-            s = int(seq_lens.max())
+            if seq_lens is None:
+                seq_lens = np.array([len(x) for x in input_ids], np.int32)
+            s = int(max(len(x) for x in input_ids))
             arr = np.full((len(input_ids), s), scfg.pad_id, np.int32)
             for i, x in enumerate(input_ids):
                 arr[i, :len(x)] = x
@@ -322,6 +322,13 @@ class GenerationSession:
         b, s = input_ids.shape
         if seq_lens is None:
             seq_lens = np.full((b,), s, np.int32)
+        if int(np.max(seq_lens)) + max_new_tokens > self.engine_cfg.max_seq_len:
+            # decode steps past the cache end would be silently dropped by
+            # the scatter (garbage tokens); reject like the reference does
+            raise ValueError(
+                f"prompt ({int(np.max(seq_lens))}) + max_new_tokens "
+                f"({max_new_tokens}) exceeds max_seq_len "
+                f"{self.engine_cfg.max_seq_len}")
         bucket = self.engine_cfg.bucket_for(s)
         padded = np.full((b, bucket), scfg.pad_id, np.int32)
         padded[:, :s] = input_ids
@@ -329,6 +336,10 @@ class GenerationSession:
 
         self._set_kernel_mesh()
         if scfg.beam_width > 1:
+            if prompt is not None or return_logprobs:
+                raise NotImplementedError(
+                    "beam search does not support prompt tuning or "
+                    "return_logprobs (beam scores are returned instead)")
             return self._generate_beam(padded, seq_lens, scfg,
                                        max_new_tokens, max_len)
 
