@@ -168,3 +168,37 @@ def test_serialize_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(w.scale),
                                np.asarray(qparams["layers"]["wq"].scale),
                                rtol=1e-6)
+
+
+def test_fp8_kv_paged_serving_matches_dense():
+    """Paged pools honor the fp8 KV dtype contract (uint8 e4m3 codes +
+    calibrated scales) exactly like the dense cache; serving outputs match."""
+    import numpy as np
+    from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+    from trtllm_llama_tpu.models import llama
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    from trtllm_llama_tpu.runtime.sampling import SamplingConfig
+    from trtllm_llama_tpu.runtime.serving import ServingEngine
+
+    cfg = ModelConfig.tiny(dtype="float32",
+                           quant_mode=QuantMode.FP8_KV_CACHE)
+    params = llama.init_params(ModelConfig.tiny(dtype="float32"),
+                               jax.random.PRNGKey(4))
+    kvs = np.full((cfg.num_layers,), 0.02, np.float32)
+    ecfg = EngineConfig(max_batch_size=2, max_input_len=16, max_seq_len=32)
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (6, 9)]
+
+    dense = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                          kv_scales=kvs)
+    d = [dense.submit(p, 5) for p in prompts]
+    d_done = dense.run_to_completion()
+
+    paged = ServingEngine(cfg, params, ecfg, sampling=scfg, decode_chunk=3,
+                          kv_scales=kvs, paged=True, block_size=8)
+    assert paged.caches.pool_k.dtype == jnp.uint8     # fp8 codes, not bf16
+    p = [paged.submit(pr, 5) for pr in prompts]
+    p_done = paged.run_to_completion()
+    for di, pi in zip(d, p):
+        assert p_done[pi].output_ids == d_done[di].output_ids

@@ -75,6 +75,28 @@ def save_engine(out_dir: str, cfg: ModelConfig, params,
         name = _leaf_name(path)
         manifest["leaves"][name] = _save_array(arrays_dir, name, leaf)
 
+    def check_encodable(tree, prefix=""):
+        # leaf names are '.'-joined dict keys; anything else (keys with
+        # '.', list/tuple nodes holding quant containers) would round-trip
+        # into a DIFFERENT structure — fail at save time, not at load
+        if isinstance(tree, (WOQWeight, SQWeight, FP8Weight, dict)):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    if not isinstance(k, str) or "." in k:
+                        raise ValueError(
+                            f"engine dir cannot encode dict key {k!r} "
+                            f"under {prefix!r} (string keys without '.' "
+                            "only)")
+                    check_encodable(v, f"{prefix}.{k}" if prefix else k)
+            return
+        if isinstance(tree, (list, tuple)):
+            raise ValueError(
+                f"engine dir cannot encode list/tuple node under "
+                f"{prefix!r} — use dicts (the name<->path mapping is "
+                "dict-key based)")
+
+    check_encodable(params)
+
     def record_containers(tree, prefix=""):
         if isinstance(tree, WOQWeight):
             manifest["containers"][prefix] = {
@@ -103,6 +125,12 @@ def save_engine(out_dir: str, cfg: ModelConfig, params,
 
 def load_engine(engine_dir: str
                 ) -> Tuple[ModelConfig, dict, Optional[np.ndarray]]:
+    with open(os.path.join(engine_dir, "manifest.json")) as f:
+        _mf_version = json.load(f).get("format_version")
+    if _mf_version != _FORMAT_VERSION:
+        raise ValueError(
+            f"engine dir format_version {_mf_version} != supported "
+            f"{_FORMAT_VERSION} — re-run convert_checkpoint.py")
     with open(os.path.join(engine_dir, "config.json")) as f:
         engine_meta = json.load(f)
     cfg = ModelConfig.from_json(json.dumps(engine_meta["model_config"]))

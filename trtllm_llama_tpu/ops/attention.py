@@ -244,9 +244,14 @@ def decode_attention_at(q, cache: KVCache, layer, cache_lens,
     Dispatches to the Pallas decode kernel (MMHA equivalent, inline int8-KV
     dequant, no cache-slice materialization) when kernels are enabled.
     """
-    from .registry import kernel
+    from .registry import KERNELS, kernel
     k_fn = kernel("decode_attention")
-    if k_fn is not None and cache.k.dtype != jnp.uint8:
+    if (k_fn is not None and cache.k.dtype != jnp.uint8
+            and KERNELS.get("decode_attn_mode", "xla") in ("split", "fused",
+                                                           "dma")):
+        # honor the registry's measured default ('xla') like the fused
+        # dispatch does — the read-only kernel only runs when a Pallas
+        # decode mode is explicitly selected
         return k_fn(q, cache.k, cache.v, cache.scale, layer, cache_lens,
                     sm_scale=scale)
     return decode_attention(q, _layer_cache(cache, layer), cache_lens, scale)
@@ -301,8 +306,9 @@ def prefill_attention(q, k, v, seq_lens=None, scale: Optional[float] = None,
     # Long prompts stream K/V blocks (flash-style online softmax) — the
     # VMEM-resident kernel's full [S, D] panels + [bq, S] scores stop
     # fitting VMEM past S≈2k.
-    name = ("streaming_prefill_attention"
-            if q.shape[1] > (KERNELS.get("prefill_streaming_min_s") or 2048)
+    min_s = KERNELS.get("prefill_streaming_min_s")
+    min_s = 2048 if min_s is None else min_s   # 0 legitimately forces it
+    name = ("streaming_prefill_attention" if q.shape[1] > min_s
             else "prefill_attention")
     k_fn = kernel(name)
     if k_fn is not None and q.shape[-1] % 128 == 0 and causal:

@@ -36,8 +36,10 @@ class PagedKVCache(NamedTuple):
 
 def init_paged_caches(cfg, n_blocks: int, block_size: int, batch: int,
                       max_blocks_per_seq: int, kv_scales=None) -> PagedKVCache:
-    kv_dtype = (jnp.int8 if cfg.quant_mode.has_int8_kv_cache()
-                else cfg.jnp_dtype)
+    # same dtype contract as the dense cache (cfg.kv_dtype): int8 and fp8
+    # (e4m3 codes in uint8) pools are half/quarter the bf16 footprint
+    from ..config import str_dtype_to_jnp
+    kv_dtype = str_dtype_to_jnp(cfg.kv_dtype)
     shape = (cfg.num_layers, n_blocks, cfg.num_kv_heads, block_size,
              cfg.head_dim)
     if kv_scales is None:
@@ -53,12 +55,18 @@ def _quant(x, cache: PagedKVCache, layer):
         s = cache.scale[layer]
         return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
                         -127, 127).astype(jnp.int8)
+    if cache.pool_k.dtype == jnp.uint8:     # fp8 e4m3 codes (ops/fp8.py)
+        from .fp8 import fp8_encode
+        return fp8_encode(x.astype(jnp.float32) / cache.scale[layer])
     return x.astype(cache.pool_k.dtype)
 
 
 def _dequant(x, cache: PagedKVCache, layer, dtype):
     if cache.pool_k.dtype == jnp.int8:
         return (x.astype(jnp.float32) * cache.scale[layer]).astype(dtype)
+    if cache.pool_k.dtype == jnp.uint8:
+        from .fp8 import fp8_decode
+        return (fp8_decode(x) * cache.scale[layer]).astype(dtype)
     return x.astype(dtype)
 
 
@@ -93,15 +101,20 @@ def paged_write_decode_at(cache: PagedKVCache, layer, k, v,
                           positions) -> PagedKVCache:
     """Write one token per sequence: k/v [B, H, D] at positions [B]."""
     nb, bs = cache.pool_k.shape[1], cache.pool_k.shape[3]
-    b = k.shape[0]
-    bidx = jnp.arange(b)
+    mb = cache.tables.shape[1]
+    blk_i = positions // bs
+    # positions past the table (or unallocated -1 entries) go to the
+    # reserved trash block — take_along_axis would otherwise CLAMP an
+    # overflow onto the sequence's last live block and corrupt it (the
+    # dense twin's OOB scatter writes are dropped; match that safety)
+    in_range = blk_i < mb
     blk = jnp.take_along_axis(cache.tables,
-                              (positions // bs)[:, None], axis=1)[:, 0]
-    blk = jnp.where(blk < 0, nb - 1, blk)   # -1 -> reserved trash block
+                              jnp.clip(blk_i, 0, mb - 1)[:, None],
+                              axis=1)[:, 0]
+    blk = jnp.where((blk < 0) | ~in_range, nb - 1, blk)
     off = positions % bs
     pk = cache.pool_k.at[layer, blk, :, off, :].set(_quant(k, cache, layer))
     pv = cache.pool_v.at[layer, blk, :, off, :].set(_quant(v, cache, layer))
-    del bidx
     return cache._replace(pool_k=pk, pool_v=pv)
 
 
@@ -148,12 +161,11 @@ def paged_decode_attention_at(q, cache: PagedKVCache, layer, cache_lens,
     # -> [B, H, MB*BS, D]
     kg = jnp.swapaxes(kg, 2, 3).reshape(b, mb * bs, hkv, d)
     vg = jnp.swapaxes(vg, 2, 3).reshape(b, mb * bs, hkv, d)
-    kg = jnp.swapaxes(_dequant(kg, cache, layer, q.dtype), 1, 2)
-    vg = jnp.swapaxes(_dequant(vg, cache, layer, q.dtype), 1, 2)
-    rep = hq // hkv
-    if rep > 1:
-        kg = jnp.repeat(kg, rep, axis=1)
-        vg = jnp.repeat(vg, rep, axis=1)
+    from .attention import _gqa_repeat
+    kg = _gqa_repeat(jnp.swapaxes(_dequant(kg, cache, layer, q.dtype), 1, 2),
+                     hq // hkv)
+    vg = _gqa_repeat(jnp.swapaxes(_dequant(vg, cache, layer, q.dtype), 1, 2),
+                     hq // hkv)
     logits = jnp.einsum("bhd,bhkd->bhk", q, kg,
                         preferred_element_type=jnp.float32) * sm
     mask = jnp.arange(mb * bs)[None, :] < cache_lens[:, None]

@@ -213,8 +213,8 @@ def quantize_smoothquant_weight(w, act_amax, y_amax=None,
     else:
         scale_w = (jnp.maximum(w_amax, 1e-8) / 127.0).reshape(
             *w.shape[:-2], 1)                                     # [..., 1]
-    q = jnp.clip(jnp.round(w / (scale_w[..., None, :] if per_channel
-                                else scale_w[..., None, :])), -127, 127)
+    # per-tensor scale_w is [..., 1], so the same broadcast indexing works
+    q = jnp.clip(jnp.round(w / scale_w[..., None, :]), -127, 127)
     scale_x = jnp.maximum(jnp.asarray(act_amax, jnp.float32), 1e-8) / 127.0
     scale_y = (jnp.maximum(jnp.asarray(y_amax, jnp.float32), 1e-8) / 127.0
                if y_amax is not None else jnp.ones_like(scale_x))
