@@ -64,13 +64,18 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
     if quant_mode.has_act_and_weight_quant():
         sd, x_absmax = smooth_hf_state_dict(
             sd, ranges, cfg.num_layers, alpha=smoothquant_alpha)
-        act_ranges = {k: v.max(axis=-1).astype(np.float32)
-                      for k, v in x_absmax.items()}
+        act_ranges = act_ranges_for_smoothquant({"x_absmax": x_absmax})
 
-    params = params_from_hf_state_dict(sd, cfg)
+    # quantize from fp32 weights (casting to bf16 first would compound an
+    # extra rounding stage into the int values AND their scales); the
+    # remaining fp leaves are cast to the engine dtype afterwards
+    load_dtype = ("float32" if quant_mode.has_any_quant() else dtype)
+    params = params_from_hf_state_dict(sd, cfg, dtype=load_dtype)
     params = quantize_params(params, quant_mode, group_size,
                              act_ranges=act_ranges,
                              quantize_lm_head=quantize_lm_head)
+    if load_dtype != dtype:
+        params = _cast_fp_leaves(params, cfg.jnp_dtype)
 
     kv_scales = None
     if quant_mode.has_int8_kv_cache():
@@ -83,12 +88,28 @@ def convert_hf_model(hf_model, tokenizer, out_dir: str,
     return cfg
 
 
+def _cast_fp_leaves(params, eng_dt):
+    """Cast PLAIN f32 arrays (norms/embed/lm_head/un-quantized
+    projections) to the engine dtype — quantized containers are left
+    whole so their f32 scales stay f32."""
+    import jax.numpy as jnp
+
+    def cast(node):
+        if isinstance(node, dict):
+            return {k: cast(v) for k, v in node.items()}
+        if isinstance(node, jnp.ndarray) and node.dtype == jnp.float32 \
+                and node.dtype != eng_dt:
+            return node.astype(eng_dt)
+        return node
+
+    return cast(params)
+
+
 def convert_hf_checkpoint(model_dir: str, out_dir: str, **kwargs):
     """Load a HF checkpoint from disk and convert (CLI entry).
 
     The family is auto-detected from the HF config: LLaMA (full quant
-    pipeline) or Mixtral MoE (fp weights; expert quantization not wired
-    yet)."""
+    pipeline) or Mixtral MoE (fp or int8 weight-only)."""
     import torch
     from transformers import AutoConfig, AutoTokenizer, LlamaForCausalLM
 
@@ -106,16 +127,21 @@ def convert_hf_checkpoint(model_dir: str, out_dir: str, **kwargs):
             raise ValueError("Mixtral supports fp or int8 weight-only "
                              "(SQ / int4 / kv-quant for MoE not wired)")
         model = MixtralForCausalLM.from_pretrained(
-            model_dir, torch_dtype=torch.float32, low_cpu_mem_usage=True)
+            model_dir, torch_dtype="auto", low_cpu_mem_usage=True)
         cfg = config_from_hf(model.config,
                              dtype=kwargs.get("dtype", "bfloat16"),
                              quant_mode=qm)
-        params = params_from_hf_model(model, cfg)
+        params = params_from_hf_model(
+            model, cfg, dtype="float32" if int(qm) else None)
         if int(qm):
-            params = quantize_params(params, qm)
+            params = quantize_params(
+                params, qm,
+                group_size=kwargs.get("group_size", 0),
+                quantize_lm_head=kwargs.get("quantize_lm_head", False))
+            params = _cast_fp_leaves(params, cfg.jnp_dtype)
         os.makedirs(out_dir, exist_ok=True)
         save_engine(out_dir, cfg, params, None)
         return cfg
     model = LlamaForCausalLM.from_pretrained(
-        model_dir, torch_dtype=torch.float32, low_cpu_mem_usage=True)
+        model_dir, torch_dtype="auto", low_cpu_mem_usage=True)
     return convert_hf_model(model, tokenizer, out_dir, **kwargs)

@@ -74,6 +74,14 @@ def capture_activation_ranges(hf_model, tokenizer, texts: Iterable[str],
             ya = float(output.detach().abs().max())
             y_absmax[key][li] = max(y_absmax[key][li], ya)
             if key in ("wk", "wv"):
+                # the runtime quantizes K into the cache AFTER RoPE
+                # (models/llama.py), where a rotated pair a*cos - b*sin can
+                # reach sqrt(2)x the pre-rotation amax observed here —
+                # widen the K bound so the attention-dominating outliers
+                # don't saturate at qmax (V is unrotated but shares the
+                # per-layer scale; the sqrt(2) headroom costs < 1 bit)
+                if key == "wk":
+                    ya *= 1.41421356
                 kv_absmax[li] = max(kv_absmax[li], ya)
         return hook
 
@@ -84,16 +92,23 @@ def capture_activation_ranges(hf_model, tokenizer, texts: Iterable[str],
 
     try:
         hf_model.eval()
+        device = next(hf_model.parameters()).device
+        n_run = 0
         with torch.no_grad():
             for i, text in enumerate(texts):
                 if num_samples is not None and i >= num_samples:
                     break
                 ids = tokenizer(text, return_tensors="pt",
                                 truncation=True, max_length=max_seq_len)
-                hf_model(ids["input_ids"])
+                hf_model(ids["input_ids"].to(device))
+                n_run += 1
     finally:
         for h in hooks:
             h.remove()
+    if n_run == 0:
+        raise ValueError(
+            "calibration corpus is empty — no forwards ran; scales would "
+            "be garbage (check --calib_file contents)")
 
     # per-channel |w| maxima (over the output dim), from the torch weights
     w_absmax = {}

@@ -36,7 +36,7 @@ def smooth_scale(x_absmax, w_absmax, alpha: float = 0.5, eps: float = 1e-8):
 
 
 def smooth_hf_state_dict(sd: Dict, ranges: Dict, num_layers: int,
-                         alpha: float = 0.5) -> Dict:
+                         alpha: float = 0.5) -> "tuple[Dict, Dict]":
     """Apply SmoothQuant migration in-place on a {name: np.ndarray} state
     dict (torch tensors are converted). Returns updated x_absmax ranges
     (divided by s) for downstream static-scale computation."""
