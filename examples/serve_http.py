@@ -7,7 +7,10 @@ through a queue.
 
   POST /generate   {"prompt": "...", "max_new_tokens": 64,
                     "temperature": 1.0, "top_k": 0, "top_p": 0.0,
+                    "stop": [[13]], "bad_words": [[12, 7]],
                     "stream": false, "logprobs": false}
+    stop / bad_words are token-id sequences; bad_words needs the server
+    started with --max_bad_words N.
     -> {"request_id", "text", "output_ids", "finished_reason"[, "logprobs"]}
     stream=true -> chunked JSON-lines, one {"token_ids": [...], "text_delta"}
     per engine chunk, final line carries "finished_reason".
@@ -174,7 +177,15 @@ def make_handler(worker, tokenizer):
                 mnt = int(req.get("max_new_tokens", 64))
                 scfg = None
                 wants_sampling = any(k in req for k in
-                                     ("temperature", "top_k", "top_p"))
+                                     ("temperature", "top_k", "top_p",
+                                      "stop", "bad_words"))
+
+                def _word_lists(key):
+                    # token-id sequences: [[1,2],[7]] (strings would need
+                    # the tokenizer's exact ids; keep the API unambiguous)
+                    return tuple(tuple(int(t) for t in w)
+                                 for w in req.get(key, ()))
+
                 if worker.engine.per_request:
                     from trtllm_llama_tpu.runtime.sampling import (
                         SamplingConfig)
@@ -183,12 +194,15 @@ def make_handler(worker, tokenizer):
                         end_id=base.end_id, pad_id=base.pad_id,
                         temperature=float(req.get("temperature", 1.0)),
                         top_k=int(req.get("top_k", 0)),
-                        top_p=float(req.get("top_p", 0.0)))
+                        top_p=float(req.get("top_p", 0.0)),
+                        stop_words=_word_lists("stop"),
+                        bad_words=_word_lists("bad_words"))
                 elif wants_sampling:
                     return self._json(400, {
                         "error": "server started without "
                                  "--per_request_sampling; per-request "
-                                 "temperature/top_k/top_p unavailable"})
+                                 "temperature/top_k/top_p/stop/bad_words "
+                                 "unavailable"})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
 
@@ -269,6 +283,10 @@ def main():
     p.add_argument("--decode_chunk", type=int, default=8)
     p.add_argument("--prefill_chunk", type=int, default=None)
     p.add_argument("--per_request_sampling", action="store_true")
+    p.add_argument("--max_bad_words", type=int, default=0,
+                   help="per-request bad_words capacity (words per request;"
+                        " needs --per_request_sampling)")
+    p.add_argument("--max_bad_word_len", type=int, default=4)
     p.add_argument("--logprobs", action="store_true")
     p.add_argument("--draft_engine_dir", default=None,
                    help="engine dir of a small draft model: serve with "
@@ -305,6 +323,8 @@ def main():
             kv_scales=kv_scales, decode_chunk=args.decode_chunk,
             prefill_chunk=args.prefill_chunk,
             per_request_sampling=args.per_request_sampling,
+            max_bad_words=args.max_bad_words,
+            max_bad_word_len=args.max_bad_word_len,
             return_logprobs=args.logprobs)
     srv, _ = build_server(engine, tokenizer, args.port)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "

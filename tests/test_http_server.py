@@ -157,3 +157,47 @@ def test_http_over_speculative_engine():
     finally:
         srv.shutdown()
         worker.shutdown()
+
+
+def test_http_stop_and_bad_words():
+    """stop / bad_words request fields reach the per-request engine."""
+    import importlib.util
+    import os
+    import threading
+
+    spec_file = importlib.util.spec_from_file_location(
+        "serve_http3", os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "serve_http.py"))
+    mod = importlib.util.module_from_spec(spec_file)
+    spec_file.loader.exec_module(mod)
+
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    ecfg = EngineConfig(max_batch_size=2, max_input_len=16, max_seq_len=48)
+    engine = ServingEngine(cfg, params, ecfg,
+                           sampling=SamplingConfig(end_id=-1),
+                           decode_chunk=4, per_request_sampling=True,
+                           max_bad_words=2)
+    srv, worker = mod.build_server(engine, _Tok(), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        prompt = np.random.default_rng(4).integers(3, 250, (6,)).tolist()
+        base = _post(url, {"input_ids": prompt, "max_new_tokens": 10})
+        assert base["finished_reason"] == "length"
+        stop = base["output_ids"][2:4]
+        out = _post(url, {"input_ids": prompt, "max_new_tokens": 10,
+                          "stop": [stop]})
+        # truncates at the FIRST occurrence of the stop sequence
+        b = base["output_ids"]
+        k = next(i + 2 for i in range(len(b) - 1) if b[i:i + 2] == stop)
+        assert out["output_ids"] == b[:k]
+        assert out["finished_reason"] == "stop_words"
+        banned = base["output_ids"][1]
+        out = _post(url, {"input_ids": prompt, "max_new_tokens": 10,
+                          "bad_words": [[banned]]})
+        assert banned not in out["output_ids"]
+    finally:
+        srv.shutdown()
+        worker.shutdown()

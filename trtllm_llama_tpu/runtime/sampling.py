@@ -158,29 +158,101 @@ class SlotSamplingParams(NamedTuple):
     freq_pen: jnp.ndarray        # f32
     min_len: jnp.ndarray         # i32
     greedy: jnp.ndarray          # bool
+    # per-slot bad-word token sequences (reference InferenceRequest
+    # bad_words_list, banBadWords.cu): [S, W, L] i32 padded with -1, and
+    # [S, W] i32 word lengths (0 = unused row). None = feature disabled at
+    # engine build (zero overhead; the compiled step never sees them).
+    bad_words: Optional[jnp.ndarray] = None
+    bad_lens: Optional[jnp.ndarray] = None
 
     @classmethod
-    def neutral(cls, n: int) -> "SlotSamplingParams":
+    def neutral(cls, n: int, max_bad_words: int = 0,
+                max_bad_word_len: int = 0) -> "SlotSamplingParams":
+        bw = bl = None
+        if max_bad_words > 0:
+            bw = jnp.full((n, max_bad_words, max(max_bad_word_len, 1)),
+                          -1, jnp.int32)
+            bl = jnp.zeros((n, max_bad_words), jnp.int32)
         return cls(jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.int32),
                    jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32),
                    jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-                   jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool))
+                   jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
+                   bw, bl)
 
     def set_slot(self, slot: int, cfg: SamplingConfig) -> "SlotSamplingParams":
         """Host-side: write one request's config into its slot row."""
-        return SlotSamplingParams(
-            self.temperature.at[slot].set(cfg.temperature),
-            self.top_k.at[slot].set(cfg.top_k),
-            self.top_p.at[slot].set(cfg.top_p),
-            self.rep_pen.at[slot].set(cfg.repetition_penalty),
-            self.pres_pen.at[slot].set(cfg.presence_penalty),
-            self.freq_pen.at[slot].set(cfg.frequency_penalty),
-            self.min_len.at[slot].set(cfg.min_length),
-            self.greedy.at[slot].set(cfg.is_greedy))
+        out = self._replace(
+            temperature=self.temperature.at[slot].set(cfg.temperature),
+            top_k=self.top_k.at[slot].set(cfg.top_k),
+            top_p=self.top_p.at[slot].set(cfg.top_p),
+            rep_pen=self.rep_pen.at[slot].set(cfg.repetition_penalty),
+            pres_pen=self.pres_pen.at[slot].set(cfg.presence_penalty),
+            freq_pen=self.freq_pen.at[slot].set(cfg.frequency_penalty),
+            min_len=self.min_len.at[slot].set(cfg.min_length),
+            greedy=self.greedy.at[slot].set(cfg.is_greedy))
+        if self.bad_words is not None:
+            w_cap, l_cap = self.bad_words.shape[1], self.bad_words.shape[2]
+            if len(cfg.bad_words) > w_cap or any(
+                    len(w) > l_cap or not w for w in cfg.bad_words):
+                raise ValueError(
+                    f"bad_words exceed engine capacity (max {w_cap} words "
+                    f"of length <= {l_cap}; empty words not allowed)")
+            import numpy as _np
+            words = _np.full((w_cap, l_cap), -1, _np.int32)
+            lens = _np.zeros((w_cap,), _np.int32)
+            for i, w in enumerate(cfg.bad_words):
+                words[i, :len(w)] = w
+                lens[i] = len(w)
+            out = out._replace(
+                bad_words=out.bad_words.at[slot].set(jnp.asarray(words)),
+                bad_lens=out.bad_lens.at[slot].set(jnp.asarray(lens)))
+        elif cfg.bad_words:
+            raise ValueError(
+                "per-request bad_words need the engine built with "
+                "max_bad_words > 0")
+        return out
+
+
+def ban_bad_words_slots(logits, p: SlotSamplingParams, tail):
+    """Per-slot multi-token bad-word ban (reference invokeBanBadWords,
+    banBadWords.cu, driven by GptManager's per-InferenceRequest
+    bad_words_list): for each slot's word w of length l, if the slot's last
+    l-1 GENERATED tokens equal w[:-1], the completing token w[-1] is banned
+    this step. All shapes are static: words [S, W, L] (-1 padded), lens
+    [S, W] (0 = unused), tail [S, >=L-1] (the engine fills pre-generation
+    positions with -2, which never equals a real token — so a word longer
+    than the generated history simply cannot match).
+
+    tail=None means 'sampling the first generated token': only single-token
+    words can match (matching here is over generated ids only, as in the
+    reference, which bans based on output ids)."""
+    if p.bad_words is None:
+        return logits
+    s = logits.shape[0]
+    words, wlens = p.bad_words, p.bad_lens            # [S,W,L], [S,W]
+    w_cap, l_cap = words.shape[1], words.shape[2]
+    last = jnp.take_along_axis(
+        words, jnp.maximum(wlens - 1, 0)[:, :, None], axis=2)[:, :, 0]
+    if tail is None:
+        matched = wlens == 1
+    else:
+        t = tail.shape[1]
+        j = jnp.arange(max(l_cap - 1, 1))
+        # prefix element j of a length-l word aligns with tail[t-(l-1)+j]
+        idx = jnp.clip(t - (wlens[:, :, None] - 1) + j, 0, t - 1)
+        tl = jnp.take_along_axis(
+            jnp.broadcast_to(tail[:, None, :], (s, w_cap, t)), idx, axis=2)
+        pref = words[:, :, :max(l_cap - 1, 1)]
+        is_pref = j[None, None, :] < (wlens[:, :, None] - 1)
+        matched = (wlens >= 1) & jnp.all(
+            jnp.where(is_pref, tl == pref, True), axis=2)
+    bad = jnp.where(matched, last, 0)                 # clamp pads to 0
+    return logits.at[jnp.arange(s)[:, None], bad].add(
+        jnp.where(matched, NEG_INF, 0.0))
 
 
 def sample_step_slots(logits, p: SlotSamplingParams, key, token_counts,
-                      gen_lens, end_id: int):
+                      gen_lens, end_id: int, tail=None):
     """Vectorized per-slot sampling. logits [S, V] -> tokens [S] int32.
 
     Every feature is applied unconditionally with per-slot parameters whose
@@ -202,6 +274,8 @@ def sample_step_slots(logits, p: SlotSamplingParams, key, token_counts,
     # min-length: ban end_id until min_len generated
     ban = gen_lens < p.min_len
     logits = logits.at[:, end_id].add(jnp.where(ban, NEG_INF, 0.0))
+    # per-slot bad-word ban (no-op when the engine was built without it)
+    logits = ban_bad_words_slots(logits, p, tail)
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

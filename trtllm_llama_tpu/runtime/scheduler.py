@@ -149,6 +149,15 @@ class Scheduler:
         self._reserved_tokens -= len(req.input_ids) + req.max_new_tokens
         del self._active[req.request_id]
 
+    def finish(self, request_id: int, reason: str):
+        """Finish an in-flight request with an engine-decided reason (e.g.
+        'stop_words' — stop criteria the engine checks outside
+        record_token's eos/length scope)."""
+        req = self._active.get(request_id)
+        if req is not None:
+            req.finished_reason = reason
+            self._finish(req)
+
     def cancel(self, request_id: int):
         for i, r in enumerate(self._queue):
             if r.request_id == request_id:

@@ -39,7 +39,7 @@ from ..config import EngineConfig, ModelConfig
 from ..models import llama
 from .sampling import (
     SamplingConfig, SlotSamplingParams, init_token_counts, sample_step,
-    sample_step_slots,
+    sample_step_slots, update_tail,
 )
 from .scheduler import Request, Scheduler
 
@@ -86,6 +86,8 @@ class ServingEngine:
                  prefill_chunk: Optional[int] = None,
                  return_logprobs: bool = False,
                  cache_headroom: int = 0,
+                 max_bad_words: int = 0,
+                 max_bad_word_len: int = 4,
                  mapping=None, mesh=None):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
@@ -209,10 +211,30 @@ class ServingEngine:
         self.slot_active = jnp.zeros((self.n_rows,), bool)
         self.slot_budget = jnp.zeros((self.n_rows,), jnp.int32)
         self.slot_gen = jnp.zeros((self.n_rows,), jnp.int32)
+        # bad-word banning is in-graph (the decode chunk runs whole on
+        # device); it rides the per-slot vectorized sampler, so it needs
+        # per_request_sampling. stop_words need nothing here: they are
+        # matched host-side at chunk boundaries in any mode.
+        self.max_bad_words = max_bad_words
+        self.max_bad_word_len = max_bad_word_len if max_bad_words else 0
+        if max_bad_words and not self.per_request:
+            raise ValueError("max_bad_words needs per_request_sampling=True")
+        if self.scfg.bad_words and not max_bad_words:
+            raise ValueError(
+                "engine-default bad_words need max_bad_words > 0 (and "
+                "per_request_sampling=True)")
         if self.per_request:
-            self.slot_params = SlotSamplingParams.neutral(self.n_rows)
+            self.slot_params = SlotSamplingParams.neutral(
+                self.n_rows, max_bad_words, self.max_bad_word_len)
             self.slot_counts = jnp.zeros((self.n_rows, cfg.vocab_size),
                                          jnp.int32)
+        if max_bad_words:
+            # last L-1 generated tokens per slot; -2 = "before generation
+            # start" (never equals a real token id, so words longer than
+            # the generated history cannot match)
+            self.slot_tail = jnp.full(
+                (self.n_rows, max(self.max_bad_word_len - 1, 1)), -2,
+                jnp.int32)
         self._req_sampling: Dict[int, SamplingConfig] = {}
         self._fn_cache = {}
         self._key = jax.random.PRNGKey(0)
@@ -481,14 +503,16 @@ class ServingEngine:
         smax = self.engine_cfg.max_seq_len
 
         want_lp = self.return_logprobs
+        use_tail = self.max_bad_words > 0
 
         def fn(params, caches, tokens, lens, active, gen, budget, key,
-               slot_params, counts):
+               slot_params, counts, tail):
             out = jnp.zeros((n_rows, n_steps), jnp.int32)
             out_lp = jnp.zeros((n_rows, n_steps), jnp.float32)
 
             def body(i, state):
-                tokens, lens, caches, active, gen, out, counts, out_lp = state
+                (tokens, lens, caches, active, gen, out, counts, out_lp,
+                 tail) = state
                 pos = (jnp.where(active, lens, smax) if guard_inactive
                        else lens)
                 logits, caches = model.forward_decode(
@@ -496,13 +520,19 @@ class ServingEngine:
                 sub = jax.random.fold_in(key, i)
                 if per_request:
                     nxt = sample_step_slots(logits, slot_params, sub,
-                                            counts, gen, scfg.end_id)
+                                            counts, gen, scfg.end_id,
+                                            tail=tail if use_tail else None)
                     counts = counts.at[jnp.arange(n_rows), nxt].add(
                         active.astype(jnp.int32))
                 else:
                     nxt = sample_step(logits, scfg, sub)
                 nxt = jnp.where(active, nxt, scfg.pad_id)
                 out = out.at[:, i].set(nxt)
+                if use_tail:
+                    # frozen slots roll pad ids in — harmless, they never
+                    # sample again before their tail is reseeded at the
+                    # next activation
+                    tail = update_tail(tail, nxt)
                 if want_lp:
                     lp_i = _chosen_lp(logits, jnp.clip(nxt, 0, None), True)
                     out_lp = out_lp.at[:, i].set(
@@ -513,13 +543,15 @@ class ServingEngine:
                 still = active & (nxt != scfg.end_id) & (gen < budget)
                 lens = lens + active.astype(jnp.int32)
                 return (jnp.where(still, nxt, scfg.pad_id), lens, caches,
-                        still, gen, out, counts, out_lp)
+                        still, gen, out, counts, out_lp, tail)
 
             (tokens, lens, caches, active, gen, out, counts,
-             out_lp) = jax.lax.fori_loop(
+             out_lp, tail) = jax.lax.fori_loop(
                 0, n_steps, body,
-                (tokens, lens, caches, active, gen, out, counts, out_lp))
-            return caches, tokens, lens, active, gen, out, counts, out_lp
+                (tokens, lens, caches, active, gen, out, counts, out_lp,
+                 tail))
+            return (caches, tokens, lens, active, gen, out, counts, out_lp,
+                    tail)
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -544,6 +576,13 @@ class ServingEngine:
         self.slot_budget = self.slot_budget.at[slots].set(jnp.asarray(
             _np.array([r.max_new_tokens for r in reqs], _np.int32)))
         self.slot_gen = self.slot_gen.at[slots].set(1)
+        if self.max_bad_words:
+            # reseed tails: -2 sentinel (pre-generation), then the first
+            # sampled token (bad/stop matching is over generated ids only)
+            t_len = self.slot_tail.shape[1]
+            rows = _np.full((len(reqs), t_len), -2, _np.int32)
+            rows[:, -1] = tokens[:len(reqs)].astype(_np.int32)
+            self.slot_tail = self.slot_tail.at[slots].set(jnp.asarray(rows))
         finished = []
         for i, req in enumerate(reqs):
             if self.return_logprobs and lps is not None:
@@ -554,7 +593,29 @@ class ServingEngine:
                 self._release_slot(req.slot)
                 self._req_sampling.pop(req.request_id, None)
                 finished.append(self._finished(req))
+            elif self._stop_matched(req):
+                finished.append(self._finish_stopped(req))
         return finished
+
+    def _stop_matched(self, req: Request) -> bool:
+        """Host-side per-request stop-sequence check (reference
+        stopCriteriaKernels.cu / InferenceRequest stop_words_list), run at
+        chunk boundaries on the recorded output ids. The stop sequence
+        stays in the output (reference semantics); tokens the device
+        decoded past the match are discarded."""
+        cfg = self._req_sampling.get(req.request_id, self.scfg)
+        out = req.output_ids
+        for w in cfg.stop_words:
+            lw = len(w)
+            if lw and len(out) >= lw and tuple(out[-lw:]) == tuple(w):
+                return True
+        return False
+
+    def _finish_stopped(self, req: Request) -> FinishedRequest:
+        self.scheduler.finish(req.request_id, "stop_words")
+        self._release_slot(req.slot)
+        self._req_sampling.pop(req.request_id, None)
+        return self._finished(req)
 
     def _finished(self, req: Request) -> FinishedRequest:
         return FinishedRequest(
@@ -584,6 +645,17 @@ class ServingEngine:
         if sampling is not None and not self.per_request:
             raise ValueError(
                 "per-request sampling configs need per_request_sampling=True")
+        if sampling is not None and sampling.bad_words:
+            if not self.max_bad_words:
+                raise ValueError("per-request bad_words need the engine "
+                                 "built with max_bad_words > 0")
+            if (len(sampling.bad_words) > self.max_bad_words or any(
+                    not w or len(w) > self.max_bad_word_len
+                    for w in sampling.bad_words)):
+                raise ValueError(
+                    f"bad_words exceed engine capacity (max "
+                    f"{self.max_bad_words} words of length <= "
+                    f"{self.max_bad_word_len}; empty words not allowed)")
         rid = self.scheduler.submit(input_ids, max_new_tokens)
         if sampling is not None:
             self._req_sampling[rid] = sampling
@@ -739,13 +811,16 @@ class ServingEngine:
         fn = self._get(("decode", chunk), self._decode_fn, chunk)
         slot_params = self.slot_params if self.per_request else 0
         counts = self.slot_counts if self.per_request else 0
+        tail = self.slot_tail if self.max_bad_words else 0
         (self.caches, self.slot_tokens, self.slot_lens, self.slot_active,
-         self.slot_gen, out, counts, out_lp) = fn(
+         self.slot_gen, out, counts, out_lp, tail) = fn(
             self.params, self.caches, self.slot_tokens, self.slot_lens,
             self.slot_active, self.slot_gen, self.slot_budget,
-            self._next_key(), slot_params, counts)
+            self._next_key(), slot_params, counts, tail)
         if self.per_request:
             self.slot_counts = counts
+        if self.max_bad_words:
+            self.slot_tail = tail
         out = np.asarray(out)
         out_lp = np.asarray(out_lp) if self.return_logprobs else None
 
@@ -760,6 +835,11 @@ class ServingEngine:
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
                     finished.append(self._finished(req))
+                    break
+                if self._stop_matched(req):
+                    # tokens the device decoded past the match (bounded by
+                    # the chunk) are discarded with the slot
+                    finished.append(self._finish_stopped(req))
                     break
         return finished
 

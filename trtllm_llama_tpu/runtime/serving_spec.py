@@ -285,4 +285,7 @@ class SpeculativeServingEngine(ServingEngine):
                     self._req_sampling.pop(req.request_id, None)
                     finished.append(self._finished(req))
                     break
+                if self._stop_matched(req):
+                    finished.append(self._finish_stopped(req))
+                    break
         return finished
