@@ -253,19 +253,27 @@ def speculative_bench(config_name: str):
     cfg = _model_cfg(quant_mode=qm, group_size=group)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm,
                                           group)
-    if draft_kind == "self":
-        dcfg, dparams = cfg, params
-    else:   # a LLaMA-160M-shaped random draft
-        dcfg = ModelConfig(vocab_size=cfg.vocab_size, hidden_size=768,
-                           intermediate_size=2048, num_layers=12,
-                           num_heads=12, num_kv_heads=12, head_dim=64)
-        from trtllm_llama_tpu.models import llama as _llama
-        dparams = _llama.init_params(dcfg, jax.random.PRNGKey(1))
-    sess = SpeculativeSession(
-        cfg, params, dcfg, dparams,
-        EngineConfig(max_input_len=max(16, in_len),
-                     max_seq_len=in_len + out_len + gamma + 18),
-        gamma=gamma)
+    ecfg = EngineConfig(max_input_len=max(16, in_len),
+                        max_seq_len=in_len + out_len + gamma + 18)
+    if draft_kind == "ngram":
+        # prompt-lookup: no draft model. Random tokens ≈ never match, so
+        # this measures the lookup's pure overhead floor (real extractive
+        # workloads sit between this and the self-draft upper bound).
+        from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+        sess = PromptLookupSession(cfg, params, ecfg, gamma=gamma,
+                                   ngram=int(os.environ.get("BENCH_NGRAM",
+                                                            "3")))
+    else:
+        if draft_kind == "self":
+            dcfg, dparams = cfg, params
+        else:   # a LLaMA-160M-shaped random draft
+            dcfg = ModelConfig(vocab_size=cfg.vocab_size, hidden_size=768,
+                               intermediate_size=2048, num_layers=12,
+                               num_heads=12, num_kv_heads=12, head_dim=64)
+            from trtllm_llama_tpu.models import llama as _llama
+            dparams = _llama.init_params(dcfg, jax.random.PRNGKey(1))
+        sess = SpeculativeSession(cfg, params, dcfg, dparams, ecfg,
+                                  gamma=gamma)
     ids = np.random.default_rng(0).integers(3, cfg.vocab_size, (1, in_len))
     scfg = SamplingConfig(end_id=-1)
 

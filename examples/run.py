@@ -37,6 +37,12 @@ def parse_args():
                         "temperature/top-k/top-p via rejection sampling)")
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative proposals per iteration")
+    p.add_argument("--prompt_lookup", type=int, default=0, metavar="NGRAM",
+                   help="speculative decoding WITHOUT a draft model: "
+                        "propose continuations by matching the last NGRAM "
+                        "tokens against the prompt/output history "
+                        "(greedy-only; strong on extractive tasks like "
+                        "summarization)")
     return p.parse_args()
 
 
@@ -54,7 +60,15 @@ def main():
     ecfg = EngineConfig(
         max_input_len=args.max_input_len,
         max_seq_len=args.max_input_len + args.max_output_len)
-    if args.draft_engine_dir:
+    if args.draft_engine_dir and args.prompt_lookup:
+        raise SystemExit("--draft_engine_dir and --prompt_lookup are "
+                         "mutually exclusive draft sources")
+    if args.prompt_lookup:
+        from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+        sess = PromptLookupSession(cfg, params, ecfg, gamma=args.gamma,
+                                   ngram=args.prompt_lookup,
+                                   kv_scales=kv_scales)
+    elif args.draft_engine_dir:
         from trtllm_llama_tpu.runtime.speculative import SpeculativeSession
         dcfg, dparams, dkv = load_engine(args.draft_engine_dir)
         sess = SpeculativeSession(cfg, params, dcfg, dparams, ecfg,

@@ -200,3 +200,68 @@ def test_quantized_target(setup, with_kv):
         prompts, sampling=scfg, max_new_tokens=16)
     np.testing.assert_array_equal(got.output_ids, ref.output_ids)
     np.testing.assert_array_equal(got.lengths, ref.lengths)
+
+
+# ---------------------------------------------------------------------------
+# Prompt-lookup (n-gram) speculation: no draft model at all
+# ---------------------------------------------------------------------------
+
+def test_prompt_lookup_matches_greedy(setup):
+    """Whatever the lookup proposes (hit or garbage), the output must be
+    exactly the target's greedy decode."""
+    from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+    params, _, base, prompts = setup
+    scfg = SamplingConfig(end_id=-1)
+    ref = base.generate(prompts, sampling=scfg, max_new_tokens=24)
+    for gamma, ngram in ((4, 3), (2, 2), (6, 1)):
+        spec = PromptLookupSession(CFG, params, ECFG, gamma=gamma,
+                                   ngram=ngram)
+        got = spec.generate(prompts, sampling=scfg, max_new_tokens=24)
+        np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+        np.testing.assert_array_equal(got.lengths, ref.lengths)
+        assert spec.last_iters <= 24
+
+
+def test_prompt_lookup_accelerates_periodic_output(setup):
+    """When greedy decode settles into a cycle (tiny random models do),
+    the n-gram lookup must hit and commit multiple tokens per target read:
+    device-loop iterations < tokens generated."""
+    from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+    params, _, base, prompts = setup
+    scfg = SamplingConfig(end_id=-1)
+    n_new = 24
+    # seed 5 drives THIS tiny model's greedy decode into a cycle (probed);
+    # assert that, so a model change that breaks the premise is loud
+    prompt = np.random.default_rng(5).integers(3, 250, (9,)).tolist()
+    ref = base.generate([prompt], sampling=scfg, max_new_tokens=n_new)
+    out = ref.output_ids[0].tolist()
+    period = next((p for p in range(1, 9)
+                   if out[-2 * p:-p] == out[-p:]), None)
+    assert period is not None, "premise broken: greedy output not periodic"
+    spec = PromptLookupSession(CFG, params, ECFG, gamma=4, ngram=2)
+    got = spec.generate([prompt], sampling=scfg, max_new_tokens=n_new)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+    assert spec.last_iters < n_new, (
+        f"lookup never accepted: {spec.last_iters} iters for {n_new} tokens")
+
+
+def test_prompt_lookup_eos_and_ragged(setup):
+    from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+    params, _, base, prompts = setup
+    scfg = SamplingConfig(end_id=7)
+    ref = base.generate(prompts, sampling=scfg, max_new_tokens=20)
+    spec = PromptLookupSession(CFG, params, ECFG, gamma=3, ngram=3)
+    got = spec.generate(prompts, sampling=scfg, max_new_tokens=20)
+    np.testing.assert_array_equal(got.output_ids, ref.output_ids)
+    np.testing.assert_array_equal(got.lengths, ref.lengths)
+
+
+def test_prompt_lookup_rejects_stochastic(setup):
+    from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+    params, _, _, prompts = setup
+    spec = PromptLookupSession(CFG, params, ECFG)
+    with pytest.raises(ValueError, match="greedy-only"):
+        spec.generate(prompts, sampling=SamplingConfig(end_id=-1,
+                                                       temperature=0.8,
+                                                       top_k=4),
+                      max_new_tokens=8)

@@ -311,7 +311,175 @@ class SpeculativeSession:
         if fkey not in self._fn_cache:
             self._fn_cache[fkey] = self._spec_fn(bucket, max_new_tokens,
                                                  scfg)
-        out, lengths = self._fn_cache[fkey](
+        res = self._fn_cache[fkey](
             self.params, self.draft_params, jnp.asarray(padded),
             jnp.asarray(seq_lens, jnp.int32), jax.random.PRNGKey(seed))
+        out, lengths = res[0], res[1]
+        if len(res) > 2:     # diagnostic: device-loop iteration count
+            self.last_iters = int(res[2])
         return GenerationOutput(np.asarray(out), np.asarray(lengths))
+
+
+class PromptLookupSession(SpeculativeSession):
+    """Speculative decoding with NO draft model: proposals come from
+    prompt-lookup (n-gram) matching over the request's own token history
+    (Saxena 2023 'prompt lookup decoding'; Leviathan-style verification).
+
+    Each iteration finds the most recent earlier occurrence of the last
+    `ngram` committed tokens in [prompt + generated so far] and proposes
+    the γ tokens that followed it; the target verifies the slab in ONE
+    forward_extend, committing the longest matching prefix + one bonus
+    token. When no n-gram match exists the proposal is garbage and
+    verification commits exactly the bonus token — i.e. the session
+    gracefully degrades to vanilla decode speed, never below it in
+    tokens-per-target-read. Greedy-only (the proposal has no sampling
+    distribution q); output is bit-identical to vanilla greedy decode.
+
+    Where it wins: extractive workloads — summarize.py's CNN/DailyMail
+    task (the reference's north-star benchmark, README.md:919-921) copies
+    long spans from the article, so drafts hit at high rates with ZERO
+    extra weight traffic (the lookup is O(B·T·n) integer compares per
+    γ+1 tokens, vs a full draft-model decode chain).
+    """
+
+    def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
+                 gamma: int = 4, ngram: int = 3, kv_scales=None, model=None):
+        # deliberately NOT super().__init__: there is no draft model to
+        # fuse/validate (the parent would fuse the target params twice)
+        if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
+            from ..utils.compile_cache import enable_compile_cache
+            enable_compile_cache()
+        self.cfg = self.draft_cfg = cfg
+        self.engine_cfg = engine_cfg
+        self.gamma = int(gamma)
+        self.ngram = int(ngram)
+        from ..models import by_architecture
+        self.model = (model if model is not None
+                      else by_architecture(getattr(cfg, "architecture",
+                                                   "llama")))
+        if not hasattr(self.model, "forward_extend"):
+            raise ValueError("prompt-lookup speculation needs the model "
+                             "family to provide forward_extend")
+        self.kv_scales = kv_scales
+        self.params = params
+        if not os.environ.get("TLLM_NO_FUSE_QKV"):
+            fuse = getattr(self.model, "fuse_qkv_params", None)
+            if fuse is not None:
+                self.params = fuse(self.params)
+        self.draft_params = 0          # generate() threads it; fn ignores it
+        if jax.default_backend() != "cpu":
+            from ..ops.registry import enable_pallas_kernels
+            enable_pallas_kernels(True)
+        self._fn_cache = {}
+
+    def _spec_fn(self, bucket: int, max_new: int, scfg: SamplingConfig):
+        cfg, model = self.cfg, self.model
+        gamma, ngram = self.gamma, self.ngram
+        kv_s = self.kv_scales
+        end_id, pad_id = scfg.end_id, scfg.pad_id
+        max_len = bucket + max_new + gamma + 1
+        if not scfg.is_greedy:
+            raise ValueError("prompt-lookup speculation is greedy-only "
+                             "(an n-gram proposal has no q distribution)")
+        t_hist = bucket + max_new      # history buffer width (static)
+
+        def fn(params_t, _unused_draft, input_ids, seq_lens, key):
+            b = input_ids.shape[0]
+            bidx = jnp.arange(b)
+            caches_t = model.init_caches(cfg, b, max_len, kv_s)
+            logits, caches_t = model.forward_prefill(
+                params_t, cfg, input_ids, seq_lens, caches_t)
+            g1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out = jnp.full((b, max_new), pad_id, jnp.int32).at[:, 0].set(g1)
+            # hist[b]: prompt [0, seq_len) then committed output, -1 beyond
+            # (-1 never equals a real token, so unwritten positions can't
+            # fake an n-gram match)
+            hist = jnp.full((b, t_hist), -1, jnp.int32)
+            hist = jnp.where(jnp.arange(t_hist)[None] < seq_lens[:, None],
+                             jnp.pad(input_ids,
+                                     ((0, 0), (0, t_hist - bucket)),
+                                     constant_values=pad_id), hist)
+            hist = hist.at[bidx, seq_lens].set(g1)
+            lengths = jnp.ones((b,), jnp.int32)
+            done = (g1 == end_id) | (max_new <= 1)
+
+            n_win = t_hist - ngram + 1
+            w_pos = jnp.arange(n_win)
+
+            def propose(hist, p_new):
+                """Most-recent earlier occurrence of the last `ngram`
+                committed tokens; propose the γ tokens after it."""
+                gram_idx = p_new[:, None] - ngram + jnp.arange(ngram)[None]
+                gram = jnp.take_along_axis(
+                    hist, jnp.clip(gram_idx, 0, t_hist - 1), 1)  # [B, n]
+                match = jnp.ones((b, n_win), bool)
+                for j in range(ngram):
+                    match &= hist[:, j:n_win + j] == gram[:, j:j + 1]
+                # only windows STARTING before the current gram's own
+                # occurrence (overlap with it is fine — periodic sequences);
+                # this also guarantees the window is fully committed
+                match &= w_pos[None] < (p_new - ngram)[:, None]
+                t_star = jnp.max(jnp.where(match, w_pos[None], -1), 1)
+                found = t_star >= 0
+                src = (t_star + ngram)[:, None] + jnp.arange(gamma)[None]
+                props = jnp.take_along_axis(
+                    hist, jnp.clip(src, 0, t_hist - 1), 1)
+                # no match: propose the last token repeated (verification
+                # makes any proposal safe; this one is free)
+                last = jnp.take_along_axis(
+                    hist, jnp.clip(p_new - 1, 0, t_hist - 1)[:, None], 1)
+                return jnp.where(found[:, None], props,
+                                 jnp.broadcast_to(last, (b, gamma)))
+
+            def committed_at(out, q):
+                col = jnp.clip(q - seq_lens, 0, max_new - 1)
+                return jnp.take_along_axis(out, col[:, None], 1)[:, 0]
+
+            def cond(st):
+                it, _, _, _, done, _ = st
+                return (it < max_new) & ~jnp.all(done)
+
+            def body(st):
+                it, out, hist, lengths, done, caches_t = st
+                p_new = seq_lens + lengths
+
+                props = propose(hist, p_new)
+
+                last = committed_at(out, p_new - 1)
+                ver = jnp.concatenate([last[:, None], props], axis=1)
+                start = jnp.minimum(p_new - 1, max_len - gamma - 1)
+                lg, caches_t = model.forward_extend(
+                    params_t, cfg, ver, start, caches_t)
+
+                i_idx = jnp.arange(gamma + 1)[None]
+                g = jnp.argmax(lg, axis=-1).astype(jnp.int32)   # [B, γ+1]
+                match = props == g[:, :gamma]
+                n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), 1), 1)
+                slot_n = jnp.take_along_axis(g, n[:, None], 1)
+                props_ext = jnp.concatenate(
+                    [props, jnp.zeros((b, 1), jnp.int32)], 1)
+                slab = jnp.where(i_idx < n[:, None], props_ext,
+                                 jnp.where(i_idx == n[:, None], slot_n,
+                                           pad_id))
+                room = (max_new - lengths)[:, None]
+                valid = ((i_idx <= n[:, None]) & (i_idx < room)
+                         & ~done[:, None])
+                is_eos = (slab == end_id) & valid
+                valid = valid & (jnp.cumsum(is_eos, 1) - is_eos == 0)
+                k_commit = jnp.sum(valid.astype(jnp.int32), 1)
+
+                col = jnp.where(valid, lengths[:, None] + i_idx, max_new)
+                out = out.at[bidx[:, None], col].set(slab, mode="drop")
+                col_h = jnp.where(valid, p_new[:, None] + i_idx, t_hist)
+                hist = hist.at[bidx[:, None], col_h].set(slab, mode="drop")
+                new_lengths = lengths + k_commit
+                new_done = (done | jnp.any(is_eos & valid, 1)
+                            | (new_lengths >= max_new))
+                return (it + 1, out, hist, new_lengths, new_done, caches_t)
+
+            st = (jnp.int32(1), out, hist, lengths, done, caches_t)
+            st = jax.lax.while_loop(cond, body, st)
+            # iters (st[0]) = target-weight reads: the speedup diagnostic
+            return st[1], st[3], st[0]
+
+        return jax.jit(fn)
