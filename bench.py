@@ -256,9 +256,12 @@ def speculative_bench(config_name: str):
     ecfg = EngineConfig(max_input_len=max(16, in_len),
                         max_seq_len=in_len + out_len + gamma + 18)
     if draft_kind == "ngram":
-        # prompt-lookup: no draft model. Random tokens ≈ never match, so
-        # this measures the lookup's pure overhead floor (real extractive
-        # workloads sit between this and the self-draft upper bound).
+        # prompt-lookup: no draft model. NOTE on reading this number:
+        # random-WEIGHT greedy decode degenerates into repetitive token
+        # loops, which the n-gram lookup exploits heavily (measured 150.4
+        # tok/s vs 92 vanilla at int8) — treat it as the repetitive-text
+        # regime, not a floor; real-text rates depend on how extractive
+        # the workload is (summarize ≈ high, open-ended chat ≈ low).
         from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
         sess = PromptLookupSession(cfg, params, ecfg, gamma=gamma,
                                    ngram=int(os.environ.get("BENCH_NGRAM",

@@ -41,6 +41,12 @@ def parse_args():
                    help="also run the HF CPU/torch baseline")
     p.add_argument("--hf_model_dir", default=None)
     p.add_argument("--check_accuracy", action="store_true")
+    p.add_argument("--prompt_lookup", type=int, default=0, metavar="NGRAM",
+                   help="draft-free speculative decoding via n-gram lookup "
+                        "over the article — summaries copy spans, so this "
+                        "is the workload it accelerates (greedy-exact: "
+                        "ROUGE unchanged by construction)")
+    p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--rouge1_threshold", type=float, default=None,
                    help="assert rouge1 >= threshold (reference tensorrt_llm_rouge1_threshold)")
     return p.parse_args()
@@ -88,13 +94,17 @@ def main():
     articles = load_articles(args)[: args.max_ite * args.batch_size]
 
     cfg, params, kv_scales = load_engine(args.engine_dir)
-    sess = GenerationSession(
-        cfg, params,
-        EngineConfig(max_batch_size=args.batch_size,
-                     max_input_len=args.max_input_len,
-                     max_seq_len=args.max_input_len + args.output_len,
-                     prefill_buckets=(args.max_input_len,)),
-        kv_scales=kv_scales)
+    ecfg = EngineConfig(max_batch_size=args.batch_size,
+                        max_input_len=args.max_input_len,
+                        max_seq_len=args.max_input_len + args.output_len,
+                        prefill_buckets=(args.max_input_len,))
+    if args.prompt_lookup:
+        from trtllm_llama_tpu.runtime.speculative import PromptLookupSession
+        sess = PromptLookupSession(cfg, params, ecfg, gamma=args.gamma,
+                                   ngram=args.prompt_lookup,
+                                   kv_scales=kv_scales)
+    else:
+        sess = GenerationSession(cfg, params, ecfg, kv_scales=kv_scales)
     scfg = SamplingConfig(top_k=1, end_id=(tokenizer.eos_token_id
                                   if tokenizer.eos_token_id is not None
                                   else 2),

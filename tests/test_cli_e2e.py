@@ -111,6 +111,13 @@ def test_run_speculative_cli(tiny_ckpt, tmp_path):
                    "--max_output_len", "8", "--max_input_len", "16")
     get = lambda s: [ln for ln in s.splitlines() if ln.startswith("Output:")]
     assert get(spec) == get(plain)
+    # draft-free prompt-lookup speculation: same greedy output, no 2nd model
+    lookup = run_cli("run.py", "--engine_dir", eng,
+                     "--tokenizer_dir", tiny_ckpt,
+                     "--prompt_lookup", "2", "--gamma", "3",
+                     "--input_text", "the quick brown fox",
+                     "--max_output_len", "8", "--max_input_len", "16")
+    assert get(lookup) == get(plain)
 
 
 @pytest.fixture(scope="module")
