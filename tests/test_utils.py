@@ -69,3 +69,19 @@ def test_quant_mode_factories_match_reference_semantics():
                                    per_token=True, per_channel=True,
                                    use_int8_kv_cache=True)
     assert d.has_int8_kv_cache() and d.has_act_and_weight_quant()
+
+
+def test_compile_cache_keyed_by_host_fingerprint(tmp_path, monkeypatch):
+    """AOT executables from a host with different CPU features must never be
+    deserialized here (they can SIGILL): the cache dir is partitioned by a
+    host fingerprint, so a foreign host's artifacts land in a sibling dir."""
+    from trtllm_llama_tpu.utils import compile_cache as cc
+
+    fp = cc.host_fingerprint()
+    assert fp == cc.host_fingerprint()          # stable on one host
+    assert len(fp) == 12
+
+    monkeypatch.setattr(cc, "_enabled", False)
+    got = cc.enable_compile_cache(str(tmp_path / "cache"))
+    assert got == str(tmp_path / "cache" / fp)
+    assert os.path.isdir(got)

@@ -223,6 +223,11 @@ class ServingEngine:
             raise ValueError(
                 "engine-default bad_words need max_bad_words > 0 (and "
                 "per_request_sampling=True)")
+        if self.scfg.bad_words and any(
+                t < 0 or t >= cfg.vocab_size
+                for w in self.scfg.bad_words for t in w):
+            raise ValueError(
+                f"bad_words token ids must be in [0, {cfg.vocab_size})")
         if self.per_request:
             self.slot_params = SlotSamplingParams.neutral(
                 self.n_rows, max_bad_words, self.max_bad_word_len)
@@ -592,7 +597,7 @@ class ServingEngine:
                                            self.scfg.end_id):
                 self._release_slot(req.slot)
                 self._req_sampling.pop(req.request_id, None)
-                finished.append(self._finished(req))
+                finished.append(self._finish_recorded(req))
             elif self._stop_matched(req):
                 finished.append(self._finish_stopped(req))
         return finished
@@ -622,6 +627,15 @@ class ServingEngine:
             req.request_id, req.output_ids, req.finished_reason,
             logprobs=self._req_logprobs.pop(req.request_id, None)
             if self.return_logprobs else None)
+
+    def _finish_recorded(self, req: Request) -> FinishedRequest:
+        """Finish a request record_token just closed. The reference runs
+        the stop-words criterion for the final step too: if a stop
+        sequence completed on the very token that exhausted
+        max_new_tokens, report 'stop_words', not 'length'."""
+        if req.finished_reason == "length" and self._stop_matched(req):
+            req.finished_reason = "stop_words"
+        return self._finished(req)
 
     def _release_slot(self, slot: int):
         self.slot_active = self.slot_active.at[slot].set(False)
@@ -656,6 +670,14 @@ class ServingEngine:
                     f"bad_words exceed engine capacity (max "
                     f"{self.max_bad_words} words of length <= "
                     f"{self.max_bad_word_len}; empty words not allowed)")
+            # id-range guard: an out-of-range id would wrap in the JAX
+            # scatter and silently ban a different token (the reference
+            # kernel guards with 0 < id < vocab_size, banBadWords.cu:86)
+            if any(t < 0 or t >= self.cfg.vocab_size
+                   for w in sampling.bad_words for t in w):
+                raise ValueError(
+                    f"bad_words token ids must be in [0, "
+                    f"{self.cfg.vocab_size})")
         rid = self.scheduler.submit(input_ids, max_new_tokens)
         if sampling is not None:
             self._req_sampling[rid] = sampling
@@ -834,7 +856,7 @@ class ServingEngine:
                                                self.scfg.end_id):
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
-                    finished.append(self._finished(req))
+                    finished.append(self._finish_recorded(req))
                     break
                 if self._stop_matched(req):
                     # tokens the device decoded past the match (bounded by

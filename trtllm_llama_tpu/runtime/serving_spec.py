@@ -14,7 +14,7 @@ bit-identical to the offline session — tested).
 
 Per-slot state beyond the base engine:
   slot_draft_pos [R]      first cache position the draft model lacks
-  slot_tail [R, γ+2]      last γ+2 committed tokens (draft catch-up reads
+  slot_spec_tail [R, γ+2]      last γ+2 committed tokens (draft catch-up reads
                           these when it lags after rejections)
 Admission prefills BOTH models' caches in one device call; the decode
 chunk is n_iters speculative iterations, each committing 0..γ+1 tokens
@@ -72,7 +72,7 @@ class SpeculativeServingEngine(ServingEngine):
         self.draft_caches = self.draft_model.init_caches(
             draft_cfg, self.n_rows, max_len, draft_kv_scales)
         self.slot_draft_pos = jnp.zeros((self.n_rows,), jnp.int32)
-        self.slot_tail = jnp.full((self.n_rows, self.gamma + 2),
+        self.slot_spec_tail = jnp.full((self.n_rows, self.gamma + 2),
                                   scfg.pad_id, jnp.int32)
 
     # ------------------------------------------------------------------
@@ -135,7 +135,7 @@ class SpeculativeServingEngine(ServingEngine):
             jnp.asarray(lengths))
         tail = jnp.full((nb, self.gamma + 2), self.scfg.pad_id, jnp.int32)
         tail = tail.at[:, -1].set(jnp.asarray(tokens[:nb].astype(np.int32)))
-        self.slot_tail = self.slot_tail.at[sl].set(tail)
+        self.slot_spec_tail = self.slot_spec_tail.at[sl].set(tail)
         finished.extend(self._register_prefilled(reqs, tokens,
                                                  np.asarray(lps)))
         if rest:
@@ -262,13 +262,13 @@ class SpeculativeServingEngine(ServingEngine):
         slot_of = {r.slot: r for r in decoding}
         fn = self._get(("spec_decode", n_iters), self._spec_decode_fn,
                        n_iters)
-        (self.caches, self.draft_caches, self.slot_tail, self.slot_lens,
+        (self.caches, self.draft_caches, self.slot_spec_tail, self.slot_lens,
          self.slot_active, self.slot_gen, self.slot_draft_pos, out, out_lp,
          k_tot) = fn(
             self.params, self.draft_params, self.caches, self.draft_caches,
-            self.slot_tail, self.slot_lens, self.slot_active, self.slot_gen,
+            self.slot_spec_tail, self.slot_lens, self.slot_active, self.slot_gen,
             self.slot_budget, self.slot_draft_pos, self._next_key())
-        self.slot_tokens = self.slot_tail[:, -1]
+        self.slot_tokens = self.slot_spec_tail[:, -1]
         out = np.asarray(out)
         out_lp = np.asarray(out_lp) if self.return_logprobs else None
         k_tot = np.asarray(k_tot)
@@ -283,7 +283,7 @@ class SpeculativeServingEngine(ServingEngine):
                                                self.scfg.end_id):
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
-                    finished.append(self._finished(req))
+                    finished.append(self._finish_recorded(req))
                     break
                 if self._stop_matched(req):
                     finished.append(self._finish_stopped(req))

@@ -9,9 +9,34 @@ Call `enable_compile_cache()` once near program start (idempotent).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _enabled = False
+
+
+def host_fingerprint() -> str:
+    """Short hash identifying this host's CPU feature set + JAX version.
+
+    XLA:CPU AOT executables embed target machine features (e.g.
+    +prefer-no-gather); deserializing an executable compiled on a host with a
+    different feature set can SIGILL. JAX's cache key does not cover host CPU
+    features, so we partition the cache directory by them ourselves.
+    """
+    import jax
+
+    parts = [jax.__version__]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags") or line.startswith("Features"):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        import platform
+
+        parts.append(platform.processor() or platform.machine())
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> str:
@@ -19,6 +44,9 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
 
     Priority: explicit arg > $TLLM_CACHE_DIR > <repo>/.jax_cache next to the
     package > ~/.cache/trtllm_llama_tpu. Safe to call multiple times.
+    The directory is suffixed with a host fingerprint so executables AOT-
+    compiled on a different machine (different CPU features) are never
+    deserialized here (they can SIGILL — see host_fingerprint).
     """
     global _enabled
     import jax
@@ -32,6 +60,7 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
             cache_dir = os.path.join(pkg_root, ".jax_cache")
         else:
             cache_dir = os.path.expanduser("~/.cache/trtllm_llama_tpu")
+    cache_dir = os.path.join(cache_dir, host_fingerprint())
     if not _enabled:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
