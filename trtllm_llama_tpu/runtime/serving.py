@@ -110,11 +110,38 @@ class ServingEngine:
                                  * self.mapping.pp != 1):
             raise ValueError("sharded serving supports tp (and ep) axes "
                              "only — the slot pool is the batch")
+        # Multi-host continuous batching (reference GptManager.h:48-89 runs
+        # request/response callbacks on the driving rank): every process
+        # executes the identical SPMD step() program over a global mesh;
+        # process 0 is the sole request entry point and broadcasts queued
+        # submit/cancel ops at each step boundary (_sync_ops). Because the
+        # Scheduler is a deterministic function of those ops plus tokens
+        # read from fully-replicated device arrays, all hosts' schedulers
+        # stay in lockstep without any further coordination.
+        self.multihost = jax.process_count() > 1
+        self._stopped = False
+        self._pending_ops: List[tuple] = []
+        if self.multihost:
+            if mesh is None or mesh.devices.size != jax.device_count():
+                raise ValueError(
+                    "multi-host serving needs a mesh spanning every device "
+                    "of every process (parallel.multihost.pod_mesh)")
+            self._is_sched = jax.process_index() == 0
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+        else:
+            self._is_sched = True
+            self._repl = None
         self.params = params
         if mesh is not None:
             from ..parallel.sharding import param_shardings
-            self.params = jax.device_put(
-                params, param_shardings(cfg, mesh, params))
+            # under multi-host the source arrays are process-local; go
+            # through numpy so device_put can place each process's
+            # addressable shards of the global array
+            put = ((lambda a, s: jax.device_put(np.asarray(a), s))
+                   if self.multihost else jax.device_put)
+            self.params = jax.tree.map(
+                put, params, param_shardings(cfg, mesh, params))
             if hasattr(self.model, "bind_mesh"):
                 self.model.bind_mesh(mesh)
         elif not os.environ.get("TLLM_NO_FUSE_QKV"):
@@ -198,19 +225,21 @@ class ServingEngine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             kv_spec = P(None, None, "tp", None, None)   # heads over tp
-            self.caches = jax.device_put(
-                self.caches,
+            put = ((lambda a, s: jax.device_put(np.asarray(a), s))
+                   if self.multihost else jax.device_put)
+            self.caches = jax.tree.map(
+                put, self.caches,
                 jax.tree.map(
                     lambda a: NamedSharding(
                         mesh, kv_spec if a.ndim == 5
                         else P(*([None] * a.ndim))),
                     self.caches))
         # per-slot device state ([n_rows]; the trash row is never active)
-        self.slot_lens = jnp.zeros((self.n_rows,), jnp.int32)
-        self.slot_tokens = jnp.zeros((self.n_rows,), jnp.int32)
-        self.slot_active = jnp.zeros((self.n_rows,), bool)
-        self.slot_budget = jnp.zeros((self.n_rows,), jnp.int32)
-        self.slot_gen = jnp.zeros((self.n_rows,), jnp.int32)
+        self.slot_lens = self._dev(np.zeros((self.n_rows,), np.int32))
+        self.slot_tokens = self._dev(np.zeros((self.n_rows,), np.int32))
+        self.slot_active = self._dev(np.zeros((self.n_rows,), bool))
+        self.slot_budget = self._dev(np.zeros((self.n_rows,), np.int32))
+        self.slot_gen = self._dev(np.zeros((self.n_rows,), np.int32))
         # bad-word banning is in-graph (the decode chunk runs whole on
         # device); it rides the per-slot vectorized sampler, so it needs
         # per_request_sampling. stop_words need nothing here: they are
@@ -229,24 +258,45 @@ class ServingEngine:
             raise ValueError(
                 f"bad_words token ids must be in [0, {cfg.vocab_size})")
         if self.per_request:
-            self.slot_params = SlotSamplingParams.neutral(
-                self.n_rows, max_bad_words, self.max_bad_word_len)
-            self.slot_counts = jnp.zeros((self.n_rows, cfg.vocab_size),
-                                         jnp.int32)
+            self.slot_params = jax.tree.map(
+                self._dev, SlotSamplingParams.neutral(
+                    self.n_rows, max_bad_words, self.max_bad_word_len))
+            self.slot_counts = self._dev(
+                np.zeros((self.n_rows, cfg.vocab_size), np.int32))
         if max_bad_words:
             # last L-1 generated tokens per slot; -2 = "before generation
             # start" (never equals a real token id, so words longer than
             # the generated history cannot match)
-            self.slot_tail = jnp.full(
+            self.slot_tail = self._dev(np.full(
                 (self.n_rows, max(self.max_bad_word_len - 1, 1)), -2,
-                jnp.int32)
+                np.int32))
         self._req_sampling: Dict[int, SamplingConfig] = {}
         self._fn_cache = {}
-        self._key = jax.random.PRNGKey(0)
+        self._key = self._dev(jax.random.PRNGKey(0))
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    # ------------------------------------------------------------------
+    def _dev(self, x):
+        """Host value -> device array. Under multi-host: a fully-replicated
+        GLOBAL array (every process passes the identical value — guaranteed
+        by the lockstep scheduler), so the same jitted SPMD step accepts it
+        on every host."""
+        if self._repl is not None:
+            return jax.device_put(np.asarray(x), self._repl)
+        return jnp.asarray(x)
+
+    def _read(self, a):
+        """Device array -> numpy, readable on every host. Replicated global
+        arrays are read from a local shard; if GSPMD left an output sharded
+        instead, gather it (all processes run this line together)."""
+        if self._repl is not None and not a.is_fully_replicated:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(a,
+                                                                tiled=True))
+        return np.asarray(a)
 
     # ------------------------------------------------------------------
     def _prefill_fn(self, bucket: int, nb: int):
@@ -390,16 +440,16 @@ class ServingEngine:
         slot_params = self.slot_params if self.per_request else 0
         fn = self._get(("packed_prefill", tb), self._packed_prefill_fn, tb)
         self.caches, tokens, counts, lps = fn(
-            self.params, self.caches, jnp.asarray(token_ids),
-            jnp.asarray(seg_ids), jnp.asarray(slot_tok),
-            jnp.asarray(pos_tok), jnp.asarray(last_idx), jnp.asarray(slots),
+            self.params, self.caches, self._dev(token_ids),
+            self._dev(seg_ids), self._dev(slot_tok),
+            self._dev(pos_tok), self._dev(last_idx), self._dev(slots),
             self._next_key(), slot_params)
-        tokens = np.asarray(tokens)
+        tokens = self._read(tokens)
         if self.per_request and counts is not None:
-            self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
+            self.slot_counts = self.slot_counts.at[self._dev(slots)].set(
                 counts)
         finished.extend(self._register_prefilled(reqs, tokens,
-                                                 np.asarray(lps)))
+                                                 self._read(lps)))
         return finished
 
     def _chunk_prefill_fn(self, nb: int):
@@ -468,21 +518,21 @@ class ServingEngine:
             fn = self._get(("chunk_prefill", nb), self._chunk_prefill_fn, nb)
             slot_params = self.slot_params if self.per_request else 0
             self.caches, tokens, counts, lps = fn(
-                self.params, self.caches, jnp.asarray(ids),
-                jnp.asarray(starts), jnp.asarray(slots), self._next_key(),
+                self.params, self.caches, self._dev(ids),
+                self._dev(starts), self._dev(slots), self._next_key(),
                 slot_params,
-                jnp.asarray(counts) if self.per_request else 0)
-            tokens = np.asarray(tokens)
-            lps = np.asarray(lps)
+                self._dev(counts) if self.per_request else 0)
+            tokens = self._read(tokens)
+            lps = self._read(lps)
             done_rows = [(i, req) for i, req, is_last, _ in rows if is_last]
             if done_rows:
                 reqs = [r for _, r in done_rows]
                 toks = tokens[[i for i, _ in done_rows]]
                 row_lps = lps[[i for i, _ in done_rows]]
                 if self.per_request:
-                    idx = jnp.asarray(
+                    idx = self._dev(
                         np.array([i for i, _ in done_rows], np.int32))
-                    sl = jnp.asarray(
+                    sl = self._dev(
                         np.array([r.slot for r in reqs], np.int32))
                     self.slot_counts = self.slot_counts.at[sl].set(
                         counts[idx])
@@ -572,13 +622,13 @@ class ServingEngine:
         scatter per state array instead of a 5-dispatch chain per request —
         dispatch latency through the tunnel dominated admission)."""
         import numpy as _np
-        slots = jnp.asarray(_np.array([r.slot for r in reqs], _np.int32))
-        self.slot_lens = self.slot_lens.at[slots].set(jnp.asarray(
+        slots = self._dev(_np.array([r.slot for r in reqs], _np.int32))
+        self.slot_lens = self.slot_lens.at[slots].set(self._dev(
             _np.array([len(r.input_ids) for r in reqs], _np.int32)))
         self.slot_tokens = self.slot_tokens.at[slots].set(
-            jnp.asarray(tokens[:len(reqs)].astype(_np.int32)))
+            self._dev(tokens[:len(reqs)].astype(_np.int32)))
         self.slot_active = self.slot_active.at[slots].set(True)
-        self.slot_budget = self.slot_budget.at[slots].set(jnp.asarray(
+        self.slot_budget = self.slot_budget.at[slots].set(self._dev(
             _np.array([r.max_new_tokens for r in reqs], _np.int32)))
         self.slot_gen = self.slot_gen.at[slots].set(1)
         if self.max_bad_words:
@@ -587,7 +637,7 @@ class ServingEngine:
             t_len = self.slot_tail.shape[1]
             rows = _np.full((len(reqs), t_len), -2, _np.int32)
             rows[:, -1] = tokens[:len(reqs)].astype(_np.int32)
-            self.slot_tail = self.slot_tail.at[slots].set(jnp.asarray(rows))
+            self.slot_tail = self.slot_tail.at[slots].set(self._dev(rows))
         finished = []
         for i, req in enumerate(reqs):
             if self.return_logprobs and lps is not None:
@@ -678,6 +728,15 @@ class ServingEngine:
                 raise ValueError(
                     f"bad_words token ids must be in [0, "
                     f"{self.cfg.vocab_size})")
+        if self.multihost:
+            if not self._is_sched:
+                raise RuntimeError(
+                    "submit() only on the scheduler host (process 0); "
+                    "other hosts mirror it via the step-boundary broadcast")
+            # applied here AND queued so follower schedulers replay the
+            # identical op stream (-> identical request ids) at next step
+            self._pending_ops.append(
+                ("submit", list(input_ids), max_new_tokens, sampling))
         rid = self.scheduler.submit(input_ids, max_new_tokens)
         if sampling is not None:
             self._req_sampling[rid] = sampling
@@ -699,7 +758,19 @@ class ServingEngine:
         return list(self._req_logprobs.get(request_id, []))
 
     def cancel(self, request_id: int):
-        """Cancel a queued or in-flight request, releasing its slot/blocks."""
+        """Cancel a queued or in-flight request, releasing its slot/blocks.
+        Under multi-host the cancel takes effect at the next step boundary
+        (releasing a slot touches replicated device state, which every
+        process must mutate together)."""
+        if self.multihost:
+            if not self._is_sched:
+                raise RuntimeError(
+                    "cancel() only on the scheduler host (process 0)")
+            self._pending_ops.append(("cancel", request_id))
+            return
+        self._cancel_now(request_id)
+
+    def _cancel_now(self, request_id: int):
         req = self.scheduler.get(request_id)
         slot = getattr(req, "slot", None) if req is not None else None
         in_flight = req is not None and req.state.name in ("PREFILL", "DECODE")
@@ -709,6 +780,54 @@ class ServingEngine:
         self._req_logprobs.pop(request_id, None)
         if in_flight and slot is not None:
             self._release_slot(slot)
+
+    # ------------------------------------------------------------------
+    def _sync_ops(self):
+        """Multi-host step-boundary sync: process 0 broadcasts the ops
+        queued since the last step; every process applies them so all
+        schedulers make identical decisions this step. Two tiny device
+        collectives (a fixed-shape length, then a pow2-padded payload —
+        padding bounds the number of compiled broadcast shapes)."""
+        import pickle
+        from jax.experimental import multihost_utils as mhu
+
+        buf = pickle.dumps(self._pending_ops) if self._is_sched else b""
+        self._pending_ops = []
+        size = int(mhu.broadcast_one_to_all(
+            np.array([len(buf)], np.int64))[0])
+        if size == 0:
+            return
+        cap = max(256, 1 << (size - 1).bit_length())
+        pad = np.zeros((cap,), np.uint8)
+        if self._is_sched:
+            pad[:size] = np.frombuffer(buf, np.uint8)
+        ops = pickle.loads(mhu.broadcast_one_to_all(pad)[:size].tobytes())
+        for op in ops:
+            kind = op[0]
+            if kind == "submit":
+                if not self._is_sched:        # process 0 applied at submit()
+                    _, input_ids, max_new, sampling = op
+                    rid = self.scheduler.submit(input_ids, max_new)
+                    if sampling is not None:
+                        self._req_sampling[rid] = sampling
+            elif kind == "cancel":
+                self._cancel_now(op[1])
+            elif kind == "stop":
+                self._stopped = True
+
+    def follow(self):
+        """Follower loop for non-scheduler hosts: step() in lockstep with
+        process 0 (each step blocks in the sync collective until process 0
+        steps) until it broadcasts shutdown()."""
+        while not self._stopped:
+            self.step()
+
+    def shutdown(self):
+        """(multi-host) Release the follower hosts' follow() loops."""
+        if self.multihost and self._is_sched:
+            self._pending_ops.append(("stop",))
+            self.step()
+        self._stopped = True
 
     # ------------------------------------------------------------------
     def _admit_group(self, group: List[Request], bucket: int
@@ -739,22 +858,22 @@ class ServingEngine:
             fn = self._get(("pprefill", bucket, nb),
                            self._paged_prefill_fn, bucket, nb)
             self.caches, tokens, counts, lps = fn(
-                self.params, self.caches, jnp.asarray(ids),
-                jnp.asarray(lengths), jnp.asarray(table_rows),
-                jnp.asarray(slots), self._next_key(), slot_params)
+                self.params, self.caches, self._dev(ids),
+                self._dev(lengths), self._dev(table_rows),
+                self._dev(slots), self._next_key(), slot_params)
         else:
             fn = self._get(("prefill", bucket, nb),
                            self._prefill_fn, bucket, nb)
             self.caches, tokens, counts, lps = fn(
-                self.params, self.caches, jnp.asarray(ids),
-                jnp.asarray(lengths), jnp.asarray(slots), self._next_key(),
+                self.params, self.caches, self._dev(ids),
+                self._dev(lengths), self._dev(slots), self._next_key(),
                 slot_params)
-        tokens = np.asarray(tokens)
+        tokens = self._read(tokens)
         if self.per_request and counts is not None:
-            self.slot_counts = self.slot_counts.at[jnp.asarray(slots)].set(
+            self.slot_counts = self.slot_counts.at[self._dev(slots)].set(
                 counts)
         finished.extend(self._register_prefilled(reqs, tokens,
-                                                 np.asarray(lps)))
+                                                 self._read(lps)))
         if rest:
             finished.extend(self._admit_group(rest, bucket))
         return finished
@@ -765,6 +884,10 @@ class ServingEngine:
         from ..ops.registry import KERNELS
         KERNELS["mesh"] = self.mesh   # sharded paths under a mesh; None =
         # single-device (bare Pallas kernels allowed)
+        if self.multihost:
+            self._sync_ops()
+            if self._stopped:
+                return []
         finished: List[FinishedRequest] = []
 
         admitted = self.scheduler.admit()
@@ -823,13 +946,13 @@ class ServingEngine:
         if self.paged:
             # pre-allocate blocks for this chunk's writes, then refresh the
             # device block tables
-            tables = np.array(self.caches.tables)  # writable copy
+            tables = np.array(self._read(self.caches.tables))  # writable copy
             for slot, req in slot_of.items():
                 n_new = min(chunk, req.max_new_tokens - len(req.output_ids))
                 for _ in range(n_new):
                     self.kv_mgr.append_token(slot)
                 tables[slot] = self._host_table_row(slot)
-            self.caches = self.caches._replace(tables=jnp.asarray(tables))
+            self.caches = self.caches._replace(tables=self._dev(tables))
         fn = self._get(("decode", chunk), self._decode_fn, chunk)
         slot_params = self.slot_params if self.per_request else 0
         counts = self.slot_counts if self.per_request else 0
@@ -843,8 +966,8 @@ class ServingEngine:
             self.slot_counts = counts
         if self.max_bad_words:
             self.slot_tail = tail
-        out = np.asarray(out)
-        out_lp = np.asarray(out_lp) if self.return_logprobs else None
+        out = self._read(out)
+        out_lp = self._read(out_lp) if self.return_logprobs else None
 
         for slot, req in slot_of.items():
             for j, t in enumerate(out[slot]):

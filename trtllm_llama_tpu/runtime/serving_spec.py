@@ -46,6 +46,10 @@ class SpeculativeServingEngine(ServingEngine):
         scfg = sampling or SamplingConfig()
         if not scfg.is_greedy:
             raise ValueError("speculative serving is greedy-only")
+        import jax as _jax
+        if _jax.process_count() > 1:
+            raise ValueError("speculative serving is single-host for now "
+                             "(its draft-side state is process-local)")
         if cfg.vocab_size != draft_cfg.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, engine_cfg, sampling=scfg,
