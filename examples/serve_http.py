@@ -290,7 +290,9 @@ def main():
     p.add_argument("--logprobs", action="store_true")
     p.add_argument("--draft_engine_dir", default=None,
                    help="engine dir of a small draft model: serve with "
-                        "speculative decoding (greedy-only)")
+                        "speculative decoding (greedy by default; with "
+                        "--per_request_sampling, per-request temperature/"
+                        "top_k/top_p run rejection-sampling verification)")
     p.add_argument("--gamma", type=int, default=4)
     args = p.parse_args()
 
@@ -316,6 +318,7 @@ def main():
             cfg, params, dcfg, dparams, ecfg, gamma=args.gamma,
             sampling=scfg, kv_scales=kv_scales, draft_kv_scales=dkv,
             decode_chunk=args.decode_chunk,
+            per_request_sampling=args.per_request_sampling,
             return_logprobs=args.logprobs)
     else:
         engine = ServingEngine(

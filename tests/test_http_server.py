@@ -143,7 +143,8 @@ def test_http_over_speculative_engine():
     ecfg = EngineConfig(max_batch_size=2, max_input_len=16, max_seq_len=32)
     engine = SpeculativeServingEngine(
         cfg, params, dcfg, dparams, ecfg, gamma=3,
-        sampling=SamplingConfig(end_id=-1), decode_chunk=4)
+        sampling=SamplingConfig(end_id=-1), decode_chunk=4,
+        per_request_sampling=True)
     srv, worker = mod.build_server(engine, _Tok(), port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -154,6 +155,11 @@ def test_http_over_speculative_engine():
         ref = GenerationSession(cfg, params, ecfg).generate(
             [prompt], sampling=SamplingConfig(end_id=-1), max_new_tokens=6)
         assert out["output_ids"] == ref.output_ids[0].tolist()
+        # a stochastic request rides the same speculative engine
+        # (--draft_engine_dir + --per_request_sampling)
+        out2 = _post(url, {"input_ids": prompt, "max_new_tokens": 6,
+                           "temperature": 0.8, "top_k": 8})
+        assert len(out2["output_ids"]) == 6
     finally:
         srv.shutdown()
         worker.shutdown()

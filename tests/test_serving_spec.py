@@ -98,7 +98,7 @@ def test_spec_serving_eos_and_logprobs(setup):
 
 def test_spec_serving_validation(setup):
     params, dparams = setup
-    with pytest.raises(ValueError, match="greedy-only"):
+    with pytest.raises(ValueError, match="per_request_sampling"):
         SpeculativeServingEngine(CFG, params, DCFG, dparams, ECFG,
                                  sampling=SamplingConfig(top_k=4))
     with pytest.raises(ValueError, match="vocabulary"):
@@ -133,3 +133,96 @@ def test_spec_serving_quantized_target(setup):
     s_done = spec.run_to_completion()
     for pi, si in zip(p_ids, s_ids):
         assert s_done[si].output_ids == p_done[pi].output_ids
+
+
+# ---------------------------------------------------------------------------
+# Stochastic speculative serving (per_request_sampling=True)
+
+def _tv(h1, h2):
+    """Total-variation distance between two empirical histograms."""
+    p = h1 / h1.sum()
+    q = h2 / h2.sum()
+    return 0.5 * np.abs(p - q).sum()
+
+
+def _tv_noise(h1, h2):
+    """Expected TV between two size-B empirical draws of one distribution
+    (2.5x bound, same derivation as tests/test_speculative.py)."""
+    b = h1.sum()
+    p = (h1 + h2) / (h1.sum() + h2.sum())
+    return 2.5 * 0.5 * np.sqrt(4 / (np.pi * b)) * np.sqrt(p).sum()
+
+
+def test_spec_serving_stochastic_matches_plain_distribution(setup):
+    """Rejection sampling under continuous batching must emit tokens
+    distributed exactly as the plain engine's per-slot sampler (Leviathan
+    Thm. 1). B iid same-prompt requests through a wide slot pool; per-step
+    marginal histograms vs the plain ServingEngine. Random mismatched
+    draft, so rejections + residual resampling genuinely occur."""
+    params, dparams = setup
+    B = 768
+    ecfg = EngineConfig(max_batch_size=B, max_input_len=16, max_seq_len=24)
+    prompt = [7, 23, 101, 55, 200]
+    scfg = SamplingConfig(end_id=-1, top_k=8, temperature=0.8)
+
+    plain = ServingEngine(CFG, params, ecfg, sampling=SCFG, decode_chunk=3,
+                          per_request_sampling=True)
+    for _ in range(B):
+        plain.submit(prompt, 3, sampling=scfg)
+    ref_done = plain.run_to_completion()
+
+    eng = SpeculativeServingEngine(CFG, params, DCFG, dparams, ecfg,
+                                   gamma=3, sampling=SCFG, decode_chunk=4,
+                                   per_request_sampling=True)
+    rids = [eng.submit(prompt, 3, sampling=scfg) for _ in range(B)]
+    done = eng.run_to_completion()
+
+    got = np.array([done[r].output_ids for r in rids])
+    ref = np.array([fr.output_ids for fr in ref_done.values()])
+    assert got.shape == ref.shape == (B, 3)
+    for step in range(3):
+        h_got = np.bincount(got[:, step], minlength=256)
+        h_ref = np.bincount(ref[:, step], minlength=256)
+        thr = max(0.05, _tv_noise(h_got, h_ref))
+        assert _tv(h_got, h_ref) < thr, (step, _tv(h_got, h_ref), thr)
+
+
+def test_spec_serving_mixed_greedy_stochastic_exactness(setup):
+    """A greedy request in a pool that also holds stochastic requests must
+    still be BIT-identical to the plain greedy engine — greedy slots keep
+    the argmax-prefix acceptance regardless of their neighbors."""
+    params, dparams = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 9, 7)]
+    new_tokens = [6, 5, 7]
+    ref = _ref_outputs(params, prompts, new_tokens)
+
+    eng = SpeculativeServingEngine(CFG, params, DCFG, dparams, ECFG,
+                                   gamma=2, sampling=SCFG, decode_chunk=4,
+                                   per_request_sampling=True)
+    stoch = SamplingConfig(end_id=-1, top_k=4, temperature=1.2)
+    r0 = eng.submit(prompts[0], new_tokens[0])             # greedy default
+    r1 = eng.submit(prompts[1], new_tokens[1], sampling=stoch)
+    r2 = eng.submit(prompts[2], new_tokens[2])             # greedy default
+    done = eng.run_to_completion()
+    assert done[r0].output_ids == ref[0].output_ids
+    assert done[r2].output_ids == ref[2].output_ids
+    assert len(done[r1].output_ids) == new_tokens[1]
+
+
+def test_spec_serving_stochastic_needs_per_request(setup):
+    params, dparams = setup
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        SpeculativeServingEngine(
+            CFG, params, DCFG, dparams, ECFG,
+            sampling=SamplingConfig(end_id=-1, top_k=4))
+
+
+def test_spec_serving_rejects_unsupported_features(setup):
+    params, dparams = setup
+    eng = SpeculativeServingEngine(CFG, params, DCFG, dparams, ECFG,
+                                   sampling=SCFG,
+                                   per_request_sampling=True)
+    bad = SamplingConfig(end_id=-1, repetition_penalty=1.3)
+    with pytest.raises(ValueError, match="penalties"):
+        eng.submit([5, 6, 7], 4, sampling=bad)

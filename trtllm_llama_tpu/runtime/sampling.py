@@ -278,7 +278,22 @@ def sample_step_slots(logits, p: SlotSamplingParams, key, token_counts,
     logits = ban_bad_words_slots(logits, p, tail)
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = transform_slots(logits, p)
+    sampled = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jnp.where(p.greedy, greedy_tok, sampled)
 
+
+def transform_slots(logits, p: SlotSamplingParams):
+    """Per-slot temperature/top-k/top-p logits shaping ([S, V] -> [S, V]).
+
+    This defines each slot's ACTUAL sampling distribution, so speculative
+    rejection sampling (runtime/serving_spec.py) must use exactly this
+    transform for both p and q — the same rule the offline path states at
+    speculative.py::_transform. One shared descending sort feeds both the
+    top-k threshold and the top-p cumulative mass. Greedy slots pass
+    through shaped too; callers select argmax for them."""
+    v = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
     t = jnp.where(p.temperature > 0, p.temperature, 1.0)[:, None]
     logits = logits / t
     # one sort serves top-k and top-p
@@ -293,9 +308,7 @@ def sample_step_slots(logits, p: SlotSamplingParams, key, token_counts,
     keep_sorted = (cum - probs) < p_eff
     p_thresh = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf),
                        axis=-1, keepdims=True)
-    logits = jnp.where(logits < jnp.maximum(kth, p_thresh), NEG_INF, logits)
-    sampled = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
-    return jnp.where(p.greedy, greedy_tok, sampled)
+    return jnp.where(logits < jnp.maximum(kth, p_thresh), NEG_INF, logits)
 
 
 def update_tail(tail, tokens):

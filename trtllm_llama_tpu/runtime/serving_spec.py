@@ -7,10 +7,15 @@ well-matched draft multiplies aggregate serving throughput the same way it
 multiplies single-stream decode — each accepted token amortizes one read
 of the target weights across the whole batch.
 
-Greedy-only, dense-cache, global SamplingConfig (the offline speculative
-session's exactness property carries over: every request's tokens are
-bit-identical to the plain serving engine's greedy output, which is itself
-bit-identical to the offline session — tested).
+Dense-cache. Sampling: greedy by default; with per_request_sampling=True
+each request may carry its own temperature/top-k/top-p and the verify step
+runs full rejection sampling (Leviathan et al. 2023 Alg. 1) vectorized
+over slots — stochastic slots emit tokens distributed exactly as the plain
+engine's sampler (distribution-tested), while greedy slots keep the
+argmax-prefix acceptance and stay bit-identical to the plain serving
+engine's greedy output (which is itself bit-identical to the offline
+session — tested). p and q use transform_slots, the same per-slot
+distribution shaping sample_step_slots draws from.
 
 Per-slot state beyond the base engine:
   slot_draft_pos [R]      first cache position the draft model lacks
@@ -31,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
-from .sampling import SamplingConfig
+from .sampling import SamplingConfig, transform_slots
 from .serving import FinishedRequest, ServingEngine, _chosen_lp, _pow2_groups
 from .scheduler import Request
 
@@ -42,10 +47,15 @@ class SpeculativeServingEngine(ServingEngine):
                  sampling: Optional[SamplingConfig] = None,
                  kv_scales=None, draft_kv_scales=None,
                  decode_chunk: int = 8, model=None, draft_model=None,
-                 return_logprobs: bool = False):
+                 return_logprobs: bool = False,
+                 per_request_sampling: bool = False):
         scfg = sampling or SamplingConfig()
-        if not scfg.is_greedy:
-            raise ValueError("speculative serving is greedy-only")
+        if not per_request_sampling and not scfg.is_greedy:
+            raise ValueError(
+                "speculative serving with a stochastic SamplingConfig needs "
+                "per_request_sampling=True (the rejection-sampling "
+                "acceptance is vectorized over slots)")
+        self._check_spec_sampling(scfg)
         import jax as _jax
         if _jax.process_count() > 1:
             raise ValueError("speculative serving is single-host for now "
@@ -55,6 +65,7 @@ class SpeculativeServingEngine(ServingEngine):
         super().__init__(cfg, params, engine_cfg, sampling=scfg,
                          kv_scales=kv_scales, decode_chunk=decode_chunk,
                          model=model, return_logprobs=return_logprobs,
+                         per_request_sampling=per_request_sampling,
                          cache_headroom=int(gamma) + 1)
         if not hasattr(self.model, "forward_extend"):
             raise ValueError("target family lacks forward_extend")
@@ -80,22 +91,50 @@ class SpeculativeServingEngine(ServingEngine):
                                   scfg.pad_id, jnp.int32)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _check_spec_sampling(scfg: SamplingConfig):
+        """The vectorized rejection test covers the distribution-shaping
+        params (temperature/top-k/top-p); history-dependent features would
+        change p/q mid-slab and are rejected (same scope as the offline
+        SpeculativeSession, speculative.py)."""
+        if (scfg.repetition_penalty != 1.0 or scfg.presence_penalty != 0.0
+                or scfg.frequency_penalty != 0.0 or scfg.min_length > 0
+                or scfg.bad_words or scfg.beam_width > 1):
+            raise ValueError(
+                "speculative serving supports temperature/top_k/top_p "
+                "(+host-side stop_words); penalties, min_length, bad_words "
+                "and beam search are not implemented for it")
+
+    def submit(self, input_ids, max_new_tokens,
+               sampling: Optional[SamplingConfig] = None) -> int:
+        if sampling is not None:
+            self._check_spec_sampling(sampling)
+        return super().submit(input_ids, max_new_tokens, sampling)
     def _spec_prefill_fn(self, bucket: int, nb: int):
         cfg, dcfg = self.cfg, self.draft_cfg
         model, dmodel = self.model, self.draft_model
         scfg = self.scfg
+        per_request = self.per_request
         want_lp = self.return_logprobs
         kv_s, dkv_s = self._kv_scales, self._dkv_scales
 
         def fn(params_t, params_d, caches_t, caches_d, ids, lengths, slots,
-               key):
+               key, slot_params):
             scratch_t = model.init_caches(cfg, nb, bucket, kv_s)
             logits, scratch_t = model.forward_prefill(
                 params_t, cfg, ids, lengths, scratch_t)
             scratch_d = dmodel.init_caches(dcfg, nb, bucket, dkv_s)
             _, scratch_d = dmodel.forward_prefill(
                 params_d, dcfg, ids, lengths, scratch_d)
-            tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if per_request:
+                gp = jax.tree.map(lambda a: a[slots], slot_params)
+                tl = transform_slots(logits, gp)
+                samp = jax.random.categorical(key, tl,
+                                              axis=-1).astype(jnp.int32)
+                tokens = jnp.where(gp.greedy, greedy_tok, samp)
+            else:
+                tokens = greedy_tok
             lp = _chosen_lp(logits, tokens, want_lp)
             kt, vt = caches_t.k, caches_t.v
             kd, vd = caches_d.k, caches_d.v
@@ -126,12 +165,17 @@ class SpeculativeServingEngine(ServingEngine):
             ids[i, :len(req.input_ids)] = req.input_ids
             lengths[i] = len(req.input_ids)
             slots[i] = req.slot
+            if self.per_request:
+                scfg_i = self._req_sampling.get(req.request_id, self.scfg)
+                self.slot_params = self.slot_params.set_slot(req.slot,
+                                                             scfg_i)
         fn = self._get(("spec_prefill", bucket, nb),
                        self._spec_prefill_fn, bucket, nb)
         self.caches, self.draft_caches, tokens, lps = fn(
             self.params, self.draft_params, self.caches, self.draft_caches,
             jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(slots),
-            self._next_key())
+            self._next_key(),
+            self.slot_params if self.per_request else 0)
         tokens = np.asarray(tokens)
         sl = jnp.asarray(slots)
         # draft has processed [0, len); its next position is len.
@@ -152,8 +196,10 @@ class SpeculativeServingEngine(ServingEngine):
         model, dmodel = self.model, self.draft_model
         scfg = self.scfg
         gamma = self.gamma
+        per_request = self.per_request
         want_lp = self.return_logprobs
         n_rows = self.n_rows
+        v = cfg.vocab_size
         end_id, pad_id = scfg.end_id, scfg.pad_id
         t_cols = n_iters * (gamma + 1)
         smax_t = int(self.caches.k.shape[3])
@@ -161,7 +207,7 @@ class SpeculativeServingEngine(ServingEngine):
         rows = jnp.arange(n_rows)
 
         def fn(params_t, params_d, caches_t, caches_d, tail, lens, active,
-               gen, budget, draft_pos, key):
+               gen, budget, draft_pos, key, slot_params):
             out = jnp.full((n_rows, t_cols), pad_id, jnp.int32)
             out_lp = jnp.zeros((n_rows, t_cols), jnp.float32)
             written = jnp.zeros((n_rows,), jnp.int32)
@@ -170,9 +216,12 @@ class SpeculativeServingEngine(ServingEngine):
                 (caches_t, caches_d, tail, lens, active, gen, draft_pos,
                  out, out_lp, written) = st
                 p_new = lens + 1              # position after last committed
+                if per_request:
+                    kb = jax.random.fold_in(key, it)
+                    k_draft, k_acc, k_res = jax.random.split(kb, 3)
 
                 def dbody(j, dst):
-                    caches_d, prev, props = dst
+                    caches_d, prev, props, qprobs = dst
                     q = draft_pos + j
                     back = p_new - 1 - q      # 0 => last committed token
                     idx_t = jnp.clip((gamma + 1) - back, 0, gamma + 1)
@@ -186,14 +235,29 @@ class SpeculativeServingEngine(ServingEngine):
                     i = q + 1 - p_new
                     ok = (i >= 0) & (i < gamma)
                     ic = jnp.clip(i, 0, gamma - 1)
+                    if per_request:
+                        # stochastic slots propose from their ACTUAL
+                        # per-slot distribution q (transform_slots — same
+                        # shaping the plain engine samples with)
+                        tl = transform_slots(lgd, slot_params)
+                        s_samp = jax.random.categorical(
+                            jax.random.fold_in(k_draft, j), tl,
+                            axis=-1).astype(jnp.int32)
+                        samp = jnp.where(slot_params.greedy, samp, s_samp)
+                        qp = jax.nn.softmax(tl, axis=-1)
+                        qprobs = qprobs.at[rows, ic].set(
+                            jnp.where(ok[:, None], qp, qprobs[rows, ic]))
                     props = props.at[rows, ic].set(
                         jnp.where(ok, samp, props[rows, ic]))
-                    return caches_d, samp, props
+                    return caches_d, samp, props, qprobs
 
                 props0 = jnp.full((n_rows, gamma), pad_id, jnp.int32)
-                caches_d, _, props = jax.lax.fori_loop(
+                q0 = (jnp.zeros((n_rows, gamma, v), jnp.float32)
+                      if per_request
+                      else jnp.zeros((n_rows, 1, 1), jnp.float32))
+                caches_d, _, props, qprobs = jax.lax.fori_loop(
                     0, gamma + 1, dbody,
-                    (caches_d, jnp.zeros((n_rows,), jnp.int32), props0))
+                    (caches_d, jnp.zeros((n_rows,), jnp.int32), props0, q0))
 
                 last = tail[:, -1]
                 ver = jnp.concatenate([last[:, None], props], axis=1)
@@ -206,6 +270,39 @@ class SpeculativeServingEngine(ServingEngine):
                 n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), 1), 1)
                 i_idx = jnp.arange(gamma + 1)[None]
                 bonus = jnp.take_along_axis(g, n[:, None], 1)
+                if per_request:
+                    # rejection sampling (Leviathan Alg. 1) vectorized over
+                    # slots; greedy slots keep the argmax-prefix acceptance
+                    # (bit-identical to the plain greedy engine)
+                    pl = jax.vmap(transform_slots, in_axes=(1, None),
+                                  out_axes=1)(lg, slot_params)
+                    pprobs = jax.nn.softmax(pl, axis=-1)   # [R, γ+1, V]
+                    p_x = jnp.take_along_axis(
+                        pprobs[:, :gamma], props[..., None], -1)[..., 0]
+                    q_x = jnp.take_along_axis(
+                        qprobs, props[..., None], -1)[..., 0]
+                    u = jax.random.uniform(k_acc, (n_rows, gamma))
+                    accept = u * jnp.maximum(q_x, 1e-20) < p_x
+                    n_s = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), 1),
+                                  1)
+                    n = jnp.where(slot_params.greedy, n, n_s)
+                    # replacement at slot n: norm(max(p_n - q_n, 0)); the
+                    # full-acceptance bonus is the same formula with q=0
+                    p_n = jnp.take_along_axis(
+                        pprobs, n[:, None, None], 1)[:, 0]
+                    q_ext = jnp.concatenate(
+                        [qprobs, jnp.zeros((n_rows, 1, v), jnp.float32)], 1)
+                    q_n = jnp.take_along_axis(
+                        q_ext, n[:, None, None], 1)[:, 0]
+                    resid = jnp.maximum(p_n - q_n, 0.0)
+                    resid = jnp.where(
+                        resid.sum(-1, keepdims=True) > 1e-12, resid, p_n)
+                    repl = jax.random.categorical(
+                        k_res, jnp.where(resid > 0, jnp.log(resid), -1e30),
+                        axis=-1).astype(jnp.int32)
+                    bonus_g = jnp.take_along_axis(g, n[:, None], 1)[:, 0]
+                    bonus = jnp.where(slot_params.greedy, bonus_g,
+                                      repl)[:, None]
                 props_ext = jnp.concatenate(
                     [props, jnp.zeros((n_rows, 1), jnp.int32)], 1)
                 slab = jnp.where(i_idx < n[:, None], props_ext,
@@ -271,7 +368,8 @@ class SpeculativeServingEngine(ServingEngine):
          k_tot) = fn(
             self.params, self.draft_params, self.caches, self.draft_caches,
             self.slot_spec_tail, self.slot_lens, self.slot_active, self.slot_gen,
-            self.slot_budget, self.slot_draft_pos, self._next_key())
+            self.slot_budget, self.slot_draft_pos, self._next_key(),
+            self.slot_params if self.per_request else 0)
         self.slot_tokens = self.slot_spec_tail[:, -1]
         out = np.asarray(out)
         out_lp = np.asarray(out_lp) if self.return_logprobs else None
