@@ -75,3 +75,66 @@ def test_sharded_kernels_match_single_device(mode, group):
     # greedy decode: token-identical unless a logit tie flips — the tiny
     # model's margins make exact agreement the expected outcome
     np.testing.assert_array_equal(out.output_ids, ref.output_ids)
+
+
+def test_row_parallel_overlap_chunks_bit_identical_and_structural():
+    """Collective/compute overlap (ops/linear.py::_row_overlap): the
+    row-parallel output is split into overlap_chunks column windows, each
+    with its own psum. Asserts (a) BIT-identical output vs the unchunked
+    path (column chunking reassociates no K reduction), and (b) the
+    compiled HLO really contains `chunks` independent all-reduces (the
+    structural property that lets the latency-hiding scheduler overlap
+    chunk c's all-reduce with chunk c+1's matmul on TPU)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    from trtllm_llama_tpu.ops.linear import dense, dense_prequant
+    from trtllm_llama_tpu.quantization.tensors import (
+        SQWeight, WOQWeight, quantize_per_token)
+
+    mapping = Mapping(tp=4)
+    mesh = mapping.make_mesh(np.array(jax.devices()[:4]))
+    rng = np.random.default_rng(0)
+    L, K, N, M = 2, 256, 512, 96            # M >= overlap_min_rows
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 127, (L, K, N)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.01, 0.02, (L, N)), jnp.float32)
+    woq = WOQWeight(wq, scale, 8, 0, 0)
+    x_q, s_x = quantize_per_token(x)
+    sq = SQWeight(wq, scale, None, None, True, True)
+
+    enable_pallas_kernels(True)
+    KERNELS["mesh"] = mesh
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            def run(chunks, fn):
+                KERNELS["overlap_chunks"] = chunks
+                return np.asarray(fn())
+            for name, fn in (
+                ("woq", lambda: dense(x, woq, layer=1, part="row")),
+                ("sq", lambda: dense_prequant(x_q, s_x, sq,
+                                              out_dtype=jnp.float32,
+                                              layer=1, part="row")),
+            ):
+                ref = run(0, fn)
+                got = run(4, fn)
+                np.testing.assert_array_equal(got, ref, err_msg=name)
+
+            # structural: 4 chunks -> 4 INDEPENDENT all-reduces in the
+            # lowered program (each consuming only its own chunk's kernel
+            # output). On TPU the latency-hiding scheduler turns these into
+            # async start/done pairs overlapped with the other chunks'
+            # matmuls — provided the all-reduce combiner doesn't re-merge
+            # them, which parallel.multihost.overlap_xla_flags() caps. The
+            # CPU backend (no ICI, no async collectives) merges them back;
+            # that is the backend scheduler's call, not the program's.
+            KERNELS["overlap_chunks"] = 4
+            txt = jax.jit(
+                lambda a: dense(a, woq, layer=1, part="row")
+            ).lower(x).as_text()
+        import re
+        n_ar = len(re.findall(r"stablehlo\.all_reduce", txt))
+        assert n_ar == 4, f"expected 4 independent all-reduces, got {n_ar}"
+    finally:
+        KERNELS["overlap_chunks"] = 4
+        enable_pallas_kernels(False)
+        KERNELS["mesh"] = None

@@ -161,6 +161,34 @@ def _lead_specs(x, mesh):
     return (b_ax,) + (None,) * (x.ndim - 2)
 
 
+def _row_overlap(mm, xl, n: int, out_dtype):
+    """Row-parallel matmul + psum with collective/compute overlap.
+
+    Instead of one matmul followed by one all-reduce (the reference's
+    serialized ncclAllReduce boundary, allreducePlugin.cpp:93), split the
+    OUTPUT columns into `overlap_chunks` windows: each window's kernel and
+    its psum are independent of every other window, so XLA's latency-hiding
+    scheduler can run psum(chunk c) on the ICI while the MXU computes chunk
+    c+1 (async all-reduce start/done pairs on TPU). Column-chunking never
+    reassociates any K reduction, so outputs are BIT-identical to the
+    unchunked path (tested). Decode-size inputs (few rows) skip chunking:
+    their psums are latency-bound and chunking would only multiply the
+    per-collective latency."""
+    chunks = int(_PALLAS.get("overlap_chunks", 0) or 0)
+    min_rows = int(_PALLAS.get("overlap_min_rows", 64))
+    rows = 1
+    for d in xl.shape[:-1]:
+        rows *= d
+    # window length must keep full 128-lane tiles
+    if (chunks > 1 and rows >= min_rows and n % chunks == 0
+            and (n // chunks) % 128 == 0):
+        nc = n // chunks
+        ys = [jax.lax.psum(mm(n_window=(c * nc, nc)), "tp")
+              for c in range(chunks)]
+        return jnp.concatenate(ys, axis=-1).astype(out_dtype)
+    return jax.lax.psum(mm(), "tp").astype(out_dtype)
+
+
 def _sharded_woq(x, w: WOQWeight, layer, part, mesh, out_dtype):
     lead = _lead_specs(x, mesh)
     if part == "col":
@@ -177,10 +205,12 @@ def _sharded_woq(x, w: WOQWeight, layer, part, mesh, out_dtype):
     w_specs = WOQWeight(q_spec, s_spec, w.w_bits, w.group_size, w.pack_block)
 
     def f(xl, wl, lyr):
-        y = _PALLAS["woq_matmul_stacked"](xl, wl, lyr)
+        def mm(n_window=None):
+            return _PALLAS["woq_matmul_stacked"](xl, wl, lyr,
+                                                 n_window=n_window)
         if part == "row":
-            y = jax.lax.psum(y, "tp")
-        return y.astype(out_dtype)
+            return _row_overlap(mm, xl, wl.qweight.shape[-1], out_dtype)
+        return mm().astype(out_dtype)
 
     return _shard_map(f, mesh=mesh, in_specs=(x_spec, w_specs, P()),
                       out_specs=o_spec, check_vma=False)(
@@ -199,10 +229,12 @@ def _sharded_sq(x_q, s_x, w: SQWeight, layer, part, mesh, out_dtype):
     sx_spec = P(*lead, None)
 
     def f(xl, sl, qw, sw, lyr):
-        y = _PALLAS["w8a8_matmul_stacked"](xl, qw, sl, sw, lyr)
+        def mm(n_window=None):
+            return _PALLAS["w8a8_matmul_stacked"](xl, qw, sl, sw, lyr,
+                                                  n_window=n_window)
         if part == "row":
-            y = jax.lax.psum(y, "tp")
-        return y.astype(out_dtype)
+            return _row_overlap(mm, xl, qw.shape[-1], out_dtype)
+        return mm().astype(out_dtype)
 
     return _shard_map(
         f, mesh=mesh,

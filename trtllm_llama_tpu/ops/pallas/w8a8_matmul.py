@@ -104,11 +104,18 @@ def w8a8_matmul(x_q, w_q, s_x, s_w, interpret=False):
     return out.reshape(*lead, out.shape[-1])
 
 
-def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False):
+def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False,
+                           n_window=None):
     """Stacked weights [L, K, N] + scalar-prefetch layer index (used inside
-    the model's layer scan — no per-layer weight materialization)."""
+    the model's layer scan — no per-layer weight materialization).
+
+    n_window=(start, length): compute only output columns
+    [start, start+length) without slicing the weight (static BlockSpec
+    offset) — see woq_matmul_stacked_2d."""
     m, k = x_q.shape
-    l, _, n = w_q.shape
+    l, _, n_full = w_q.shape
+    n_start, n = (0, n_full) if n_window is None else n_window
+    assert n_start + n <= n_full and n_start >= 0, (n_window, n_full)
     s_x = jnp.broadcast_to(jnp.asarray(s_x, jnp.float32).reshape(-1, 1), (m, 1))
     pad_m = (-m) % 32
     if pad_m:
@@ -116,7 +123,9 @@ def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False):
         s_x = jnp.pad(s_x, ((0, pad_m), (0, 0)))
     m_p = m + pad_m
     bm, bn, ck = _tiles(m_p, k, n)
-    s_w2 = jnp.broadcast_to(s_w.reshape(l, 1, -1), (l, 1, n))
+    assert n_start % bn == 0, (n_start, bn)
+    off = n_start // bn
+    s_w2 = jnp.broadcast_to(s_w.reshape(l, 1, -1), (l, 1, n_full))
 
     def _sel(s):
         return s[0] if getattr(s, "ndim", 0) else s
@@ -129,9 +138,9 @@ def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 128), lambda i, j, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, bn), lambda i, j, s: (_sel(s), 0, j),
+            pl.BlockSpec((1, k, bn), lambda i, j, s: (_sel(s), 0, j + off),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda i, j, s: (_sel(s), 0, j),
+            pl.BlockSpec((1, 1, bn), lambda i, j, s: (_sel(s), 0, j + off),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
@@ -156,10 +165,12 @@ def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False):
     return out[:m] if pad_m else out
 
 
-def w8a8_matmul_stacked(x_q, w_q, s_x, s_w, layer, interpret=False):
+def w8a8_matmul_stacked(x_q, w_q, s_x, s_w, layer, interpret=False,
+                        n_window=None):
     lead = x_q.shape[:-1]
     k = x_q.shape[-1]
     out = w8a8_matmul_stacked_2d(x_q.reshape(-1, k), w_q,
                                  jnp.asarray(s_x, jnp.float32).reshape(-1, 1),
-                                 s_w, layer, interpret=interpret)
+                                 s_w, layer, interpret=interpret,
+                                 n_window=n_window)
     return out.reshape(*lead, out.shape[-1])

@@ -231,13 +231,22 @@ def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
 
 
 def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
-                          compute_dtype=None, interpret=False):
-    """x: [M, K]; w.qweight: [L, K(/2), N]; layer: int32 scalar -> [M, N]."""
+                          compute_dtype=None, interpret=False,
+                          n_window=None):
+    """x: [M, K]; w.qweight: [L, K(/2), N]; layer: int32 scalar -> [M, N].
+
+    n_window=(start, length): compute only output columns
+    [start, start+length) — the full stacked weight stays in place (the
+    window is a static offset folded into the BlockSpec index maps, no
+    weight slice/copy). Used by the sharded row-parallel path to interleave
+    column-chunk matmuls with their psums (collective/compute overlap)."""
     compute_dtype = compute_dtype or _default_compute_dtype()
     m, k_x = x.shape
     l = w.qweight.shape[0]
     k = w.k_dim
-    n = w.qweight.shape[-1]
+    n_full = w.qweight.shape[-1]
+    n_start, n = (0, n_full) if n_window is None else n_window
+    assert n_start + n <= n_full and n_start >= 0, (n_window, n_full)
     assert k_x == k, (k_x, k)
     w_bytes_per_el = 0.5 if w.w_bits == 4 else 1
 
@@ -275,14 +284,17 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
         # 0-d scalar in interpret mode
         return s[0] if getattr(s, "ndim", 0) else s
 
+    assert n_start % bn == 0, (n_start, bn)
+    off = n_start // bn           # static column-tile offset into the weight
     if gs:
         scale = w.scale                                 # [L, K//gs, N]
         s_spec = pl.BlockSpec((1, k // gs, bn),
-                              lambda i, j, s: (_sel(s), 0, j),
+                              lambda i, j, s: (_sel(s), 0, j + off),
                               memory_space=pltpu.VMEM)
     else:
-        scale = w.scale.reshape(l, 1, n)                # [L, 1, N]
-        s_spec = pl.BlockSpec((1, 1, bn), lambda i, j, s: (_sel(s), 0, j),
+        scale = w.scale.reshape(l, 1, n_full)           # [L, 1, N]
+        s_spec = pl.BlockSpec((1, 1, bn),
+                              lambda i, j, s: (_sel(s), 0, j + off),
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -297,7 +309,7 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
             pl.BlockSpec((bm, k), lambda i, j, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k // pack_div, bn),
-                         lambda i, j, s: (_sel(s), 0, j),
+                         lambda i, j, s: (_sel(s), 0, j + off),
                          memory_space=pltpu.VMEM),
             s_spec,
         ],
@@ -321,9 +333,11 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
     return out[:m] if pad_m else out
 
 
-def woq_matmul_stacked(x, w: WOQWeight, layer, interpret=False):
+def woq_matmul_stacked(x, w: WOQWeight, layer, interpret=False,
+                       n_window=None):
     """Batched entry: x [..., K], stacked w [L, ...] -> [..., N] f32."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    out = woq_matmul_stacked_2d(x2, w, layer, interpret=interpret)
+    out = woq_matmul_stacked_2d(x2, w, layer, interpret=interpret,
+                                n_window=n_window)
     return out.reshape(*lead, out.shape[-1])

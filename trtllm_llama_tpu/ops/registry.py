@@ -47,6 +47,16 @@ KERNELS = {
     # gap to <5% of dense (per-(head,block) DMA variant measured 189;
     # whole-block DMAs + VMEM write patching are what close it).
     "paged_attn_mode": "fused",
+    # Collective/compute overlap in the sharded row-parallel paths
+    # (ops/linear.py::_row_overlap): the output columns are split into
+    # `overlap_chunks` windows; each window's matmul kernel (n_window
+    # BlockSpec offset — no weight copy) and its psum are independent, so
+    # the latency-hiding scheduler overlaps chunk c's all-reduce with chunk
+    # c+1's compute. Bit-identical to unchunked (no K reassociation).
+    # Skipped for inputs with fewer than overlap_min_rows rows (decode:
+    # psum is latency-bound; chunking multiplies the latency).
+    "overlap_chunks": 4,
+    "overlap_min_rows": 64,
     # Active mesh for sharded execution. When set, only the shard_map-wrapped
     # dense paths (ops/linear.py) run Pallas kernels — GSPMD cannot partition
     # a bare pallas_call, so every other kernel falls back to XLA (which GSPMD

@@ -83,6 +83,33 @@ def pod_mapping(mesh: Mesh) -> Mapping:
                    pp=shape.get("pp", 1), ep=shape.get("ep", 1))
 
 
+def overlap_xla_flags(chunk_bytes: int = 1 << 20, apply: bool = False,
+                      backend: str = "gpu") -> str:
+    """The XLA flag that preserves collective/compute overlap.
+
+    The sharded row-parallel matmuls emit `overlap_chunks` independent
+    all-reduces (ops/linear.py::_row_overlap) so the latency-hiding
+    scheduler can overlap chunk c's reduce with chunk c+1's compute. XLA's
+    all-reduce COMBINER can re-merge them; capping its threshold at ~1 MB
+    keeps the multi-MB prefill chunks separate while still letting tiny
+    decode-step reduces combine.
+
+    Flag spellings are backend-specific and an UNKNOWN flag in $XLA_FLAGS
+    aborts the process at parse time, so nothing is applied automatically:
+    call with apply=True (before the first backend-touching JAX call) with
+    the backend whose spelling your build accepts — this jaxlib registers
+    the 'xla_gpu_' spelling; TPU builds take the combiner threshold through
+    libtpu's flag set. Returns the flag string either way."""
+    import os
+
+    flag = (f"--xla_{backend}_all_reduce_combine_threshold_bytes"
+            f"={chunk_bytes}")
+    cur = os.environ.get("XLA_FLAGS", "")
+    if apply and "all_reduce_combine_threshold_bytes" not in cur:
+        os.environ["XLA_FLAGS"] = (cur + " " + flag).strip()
+    return flag
+
+
 def is_scheduler_host() -> bool:
     """The serving layer's scheduler runs on process 0 (SPMD compute is
     identical everywhere; only host-side request bookkeeping is pinned)."""
