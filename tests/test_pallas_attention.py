@@ -317,3 +317,40 @@ def test_model_long_prompt_uses_streaming_prefill():
         KERNELS["fused_decode_attention"] = old_fused
         enable_pallas_kernels(False)
     np.testing.assert_allclose(streamed, plain, atol=2e-3, rtol=1e-3)
+
+
+def test_decode_auto_dispatch_by_cache_length(monkeypatch):
+    """'auto' decode mode (registry default): XLA below decode_dma_min_s,
+    the DMA kernel at/above — the decode twin of prefill_streaming_min_s.
+    Verified by planting a recording stub as the dma kernel."""
+    from trtllm_llama_tpu.ops import attention as A
+    from trtllm_llama_tpu.ops.registry import KERNELS
+
+    calls = []
+
+    def fake_dma(q, kn, vn, kc, vc, scale, layer, pos, sm_scale=None):
+        calls.append(kc.shape[3])
+        cache = A.KVCache(kc, vc, scale)
+        cache = A.write_kv_decode_at(cache, layer, kn, vn, pos)
+        out = A.decode_attention(q, A._layer_cache(cache, layer), pos + 1)
+        return out, cache.k, cache.v
+
+    monkeypatch.setitem(KERNELS, "enabled", True)
+    monkeypatch.setitem(KERNELS, "mesh", None)
+    monkeypatch.setitem(KERNELS, "decode_attn_mode", "auto")
+    monkeypatch.setitem(KERNELS, "decode_dma_min_s", 128)
+    monkeypatch.setitem(KERNELS, "dma_decode_attention", fake_dma)
+
+    rng = np.random.default_rng(0)
+    l, b, hq, hkv, d = 2, 1, 4, 4, 128
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
+    pos = jnp.asarray([5], jnp.int32)
+
+    for s, expect_dma in ((64, False), (128, True), (256, True)):
+        kc = jnp.zeros((l, b, hkv, s, d), jnp.float32)
+        cache = A.KVCache(kc, kc, jnp.ones((l,), jnp.float32))
+        before = len(calls)
+        A.fused_decode_attention_at(q, kn, vn, cache, 0, pos)
+        assert (len(calls) > before) == expect_dma, s

@@ -206,7 +206,15 @@ def fused_decode_attention_at(q, k_new, v_new, cache: KVCache, layer,
     decoderMaskedMultiheadAttention.h).
     """
     from .registry import KERNELS, kernel
-    mode = KERNELS.get("decode_attn_mode", "xla")
+    mode = KERNELS.get("decode_attn_mode", "auto")
+    if mode == "auto":
+        # length-based dispatch (the decode twin of prefill_streaming_min_s):
+        # XLA's fused decode loop reads the full compiled S_max every step;
+        # the DMA kernel streams only pos//chunk+1 live chunks, so past the
+        # measured crossover it wins however short the live sequence is.
+        smax = cache.k.shape[3]
+        mode = ("dma" if smax >= KERNELS.get("decode_dma_min_s", 4096)
+                else "xla")
     if cache.k.dtype == jnp.uint8:
         # fp8-KV: the pallas decode kernels only speak bf16/int8 caches;
         # the XLA path dequantizes via the fp8 codec.

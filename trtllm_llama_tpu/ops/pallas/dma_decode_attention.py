@@ -1,21 +1,29 @@
 """Manual-DMA decode attention: HBM-resident KV cache, streamed panels.
 
-Take 2 of the generation-phase fused attention (the reference's hottest
+Take 3 of the generation-phase fused attention (the reference's hottest
 kernel, decoderMaskedMultiheadAttentionTemplate.h:1336-1650 + the KV write
 invokeTranspose4dBatchMajor). The round-1 kernels lost in-model because the
 Pallas pipeline staged whole [S, D] cache panels through VMEM *and wrote
-them all back* (2x cache traffic per step). This kernel keeps the cache in
-HBM (`pltpu.ANY`) and does its own DMA:
+them all back* (2x cache traffic per step). Round 2 kept the cache in HBM
+(`pltpu.ANY`) with manual double-buffered DMA but still issued one small
+DMA per (head, chunk) and walked ALL S/chunk chunks. This version:
 
 - KV write: one aligned W-row window (W = sublane tile: 8 bf16 / 32 int8)
   per K and V is read, the new token's row inserted, and written back —
   ~4 KB of traffic instead of the full panel.
-- Attention: K/V panels stream HBM->VMEM in `chunk`-row slices,
-  double-buffered across a single flattened (head x chunk) loop so the DMA
-  engine never idles at head boundaries; softmax accumulates online
-  (flash-decoding style — the TPU shape of the reference's multi-block
-  split-K mode, decoderMaskedMultiheadAttentionLaunch.h:73-99, which on a
-  single-TensorCore v5e buys DMA/compute overlap rather than SM occupancy).
+- Attention: each streamed slice carries ALL KV heads ([hkv, chunk, d] in
+  one strided descriptor), so per-step DMA issues drop from hkv*n_chunks
+  to n_chunks and each transfer is hkv x bigger (512 KB-class instead of
+  16 KB-class — DMA efficiency, not latency, bounds the loop).
+- The chunk loop trip count is DYNAMIC: `pos // chunk + 1` — work is
+  proportional to the tokens actually generated, not to the compiled
+  max_seq_len (the XLA fallback always reads the full padded cache). This
+  is what makes the kernel the long-context path: at S_max 8k and pos 500
+  it streams 1/16th of the cache.
+- Scores live as [hkv, r, chunk] (lanes on the chunk axis — full 128-lane
+  tiles for the online-softmax exp/max/sum), accumulating flash-decoding
+  style; the TPU shape of the reference's multi-block split-K mode
+  (decoderMaskedMultiheadAttentionLaunch.h:73-99).
 - INT8 KV dequantizes in VMEM with the per-layer calibrated scale; HBM
   traffic stays int8 (the whole point — reference mmha does the same in
   registers).
@@ -37,9 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _pick_chunk(s: int, min_align: int) -> int:
+def _pick_chunk(s: int, min_align: int, hkv: int, d: int,
+                bytes_per_el: int) -> int:
+    # K+V double-buffered: 4 * hkv * chunk * d * bytes must fit the budget
+    budget = 8 * 1024 * 1024
     for c in (512, 256, 128, 64, 32, 16, 8):
-        if c >= min_align and s % c == 0:
+        if (c >= min_align and s % c == 0
+                and 4 * hkv * c * d * bytes_per_el <= budget):
             return c
     return s
 
@@ -47,7 +59,7 @@ def _pick_chunk(s: int, min_align: int) -> int:
 def _dma_decode_kernel(lyr_ref, pos_ref, scale_ref, q_ref, kn_ref, vn_ref,
                        kc_in, vc_in, kc, vc, o_ref,
                        win_k, win_v, kbuf, vbuf, wsem, ksem, vsem,
-                       *, sm_scale, kv_int8, W, chunk, n_chunks, hkv, r, d):
+                       *, sm_scale, kv_int8, W, chunk, hkv, r, d):
     del kc_in, vc_in     # aliased with kc/vc; all access via the out refs
     b = pl.program_id(0)
     lyr = lyr_ref[0]
@@ -85,34 +97,31 @@ def _dma_decode_kernel(lyr_ref, pos_ref, scale_ref, q_ref, kn_ref, vn_ref,
     wr_k.wait()          # streaming below re-reads this window
     wr_v.wait()
 
-    # ---- 2. stream K/V panels, online softmax over a flat (h, c) loop ----
-    total = hkv * n_chunks
+    # ---- 2. stream [hkv, chunk, d] K/V slices; work is O(pos), not O(S) --
+    needed = pos // chunk + 1           # dynamic: only live chunks stream
 
-    def start(it, slot):
-        h = it // n_chunks
-        c = it % n_chunks
+    def start(c, slot):
         pltpu.make_async_copy(
-            kc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+            kc.at[lyr, b, :, pl.ds(c * chunk, chunk), :],
             kbuf.at[slot], ksem.at[slot]).start()
         pltpu.make_async_copy(
-            vc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+            vc.at[lyr, b, :, pl.ds(c * chunk, chunk), :],
             vbuf.at[slot], vsem.at[slot]).start()
 
     start(0, 0)
+    qh = q_ref[0].astype(jnp.float32)                   # [hkv, r, d]
 
-    def body(it, carry):
-        m, l, acc = carry
-        slot = it % 2
+    def body(c, carry):
+        m, l, acc = carry                               # [hkv,r,1]x2, [hkv,r,d]
+        slot = c % 2
 
-        @pl.when(it + 1 < total)
+        @pl.when(c + 1 < needed)
         def _():
-            start(it + 1, (it + 1) % 2)
+            start(c + 1, (c + 1) % 2)
 
-        h = it // n_chunks
-        c = it % n_chunks
-        pltpu.make_async_copy(kc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+        pltpu.make_async_copy(kc.at[lyr, b, :, pl.ds(c * chunk, chunk), :],
                               kbuf.at[slot], ksem.at[slot]).wait()
-        pltpu.make_async_copy(vc.at[lyr, b, h, pl.ds(c * chunk, chunk), :],
+        pltpu.make_async_copy(vc.at[lyr, b, :, pl.ds(c * chunk, chunk), :],
                               vbuf.at[slot], vsem.at[slot]).wait()
         if kv_int8:
             k = kbuf[slot].astype(jnp.float32) * kv_scale
@@ -120,38 +129,28 @@ def _dma_decode_kernel(lyr_ref, pos_ref, scale_ref, q_ref, kn_ref, vn_ref,
         else:
             k = kbuf[slot].astype(jnp.float32)
             v = vbuf[slot].astype(jnp.float32)
-        qh = q_ref[0, h].astype(jnp.float32)               # [r, d]
+        # [hkv, r, d] x [hkv, chunk, d] -> [hkv, r, chunk]: lanes on chunk
         scores = jax.lax.dot_general(
-            k, qh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # [chunk, r]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
-        scores = jnp.where(rows <= pos, scores, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
-        p = jnp.exp(scores - m_new)                         # [chunk, r]
-        alpha = jnp.exp(m - m_new)                          # [1, r]
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            qh, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+                + c * chunk)
+        scores = jnp.where(cols <= pos, scores, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=2, keepdims=True))
+        p = jnp.exp(scores - m_new)                     # [hkv, r, chunk]
+        alpha = jnp.exp(m - m_new)                      # [hkv, r, 1]
+        l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+        # [hkv, r, chunk] x [hkv, chunk, d] -> [hkv, r, d]
         pv = jax.lax.dot_general(
-            p, v, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [r, d]
-        acc_new = acc * alpha.reshape(r, 1) + pv
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc * alpha + pv
 
-        is_last = c == n_chunks - 1
-
-        @pl.when(is_last)
-        def _():
-            o_ref[0, h] = (acc_new
-                           / l_new.reshape(r, 1)).astype(o_ref.dtype)
-
-        # reset accumulators at head boundaries
-        m = jnp.where(is_last, jnp.full_like(m, NEG_INF), m_new)
-        l = jnp.where(is_last, jnp.zeros_like(l), l_new)
-        acc = jnp.where(is_last, jnp.zeros_like(acc), acc_new)
-        return m, l, acc
-
-    init = (jnp.full((1, r), NEG_INF, jnp.float32),
-            jnp.zeros((1, r), jnp.float32),
-            jnp.zeros((r, d), jnp.float32))
-    jax.lax.fori_loop(0, total, body, init)
+    init = (jnp.full((hkv, r, 1), NEG_INF, jnp.float32),
+            jnp.zeros((hkv, r, 1), jnp.float32),
+            jnp.zeros((hkv, r, d), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, needed, body, init)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def dma_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
@@ -168,8 +167,7 @@ def dma_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
     sm_scale = sm_scale if sm_scale is not None else d ** -0.5
     kv_int8 = k_cache.dtype == jnp.int8
     W = 32 if kv_int8 else 8            # sublane tile => provably aligned
-    chunk = _pick_chunk(s, W)       # always divides s (fallback: chunk = s)
-    n_chunks = s // chunk
+    chunk = _pick_chunk(s, W, hkv, d, 1 if kv_int8 else 2)
 
     qg = q.reshape(b, hkv, r, d)
     scale_arr = jnp.asarray(kv_scale, jnp.float32).reshape(l)
@@ -195,8 +193,8 @@ def dma_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
         scratch_shapes=[
             pltpu.VMEM((hkv, W, d), k_cache.dtype),     # win_k
             pltpu.VMEM((hkv, W, d), k_cache.dtype),     # win_v
-            pltpu.VMEM((2, chunk, d), k_cache.dtype),   # kbuf (double)
-            pltpu.VMEM((2, chunk, d), k_cache.dtype),   # vbuf
+            pltpu.VMEM((2, hkv, chunk, d), k_cache.dtype),   # kbuf (double)
+            pltpu.VMEM((2, hkv, chunk, d), k_cache.dtype),   # vbuf
             pltpu.SemaphoreType.DMA((2,)),              # window sems
             pltpu.SemaphoreType.DMA((2,)),              # k stream sems
             pltpu.SemaphoreType.DMA((2,)),              # v stream sems
@@ -204,7 +202,7 @@ def dma_decode_attention(q, k_new, v_new, k_cache, v_cache, kv_scale,
     )
     kernel = functools.partial(
         _dma_decode_kernel, sm_scale=sm_scale, kv_int8=kv_int8, W=W,
-        chunk=chunk, n_chunks=n_chunks, hkv=hkv, r=r, d=d)
+        chunk=chunk, hkv=hkv, r=r, d=d)
 
     kc, vc, out = pl.pallas_call(
         kernel,

@@ -28,17 +28,22 @@ KERNELS = {
     # block: past S≈2k that stops fitting v5e's 16 MB VMEM.
     "prefill_streaming_min_s": 2048,
     "rmsnorm_quant": None,
-    # Decode attention path: 'xla' (scatter + einsum), 'split' (scatter +
-    # read-only pallas kernel), 'fused' (write+attend aliased kernel; writes
-    # full cache panels back — r1 experiment, loses), 'dma' (HBM-resident
-    # cache, manual double-buffered DMA streaming + windowed writes,
-    # flash-decoding split over KV chunks).
-    # Measured 7B bs1 int8-wo (tok/s, r2): S~128: xla 89.8 / fused 68.9 /
-    # dma 70.3; S~1k: xla 81.0 / dma 65.7; S~1.9k: xla 54.1 / dma 52.2.
-    # XLA's fused decode loop wins everywhere within the 2048-position
-    # range (the dma gap closes from 22% to 3.5% as S grows, crossover
-    # extrapolates past S~4k) => default stays 'xla'.
-    "decode_attn_mode": "xla",
+    # Decode attention path: 'auto' (length dispatch, below), 'xla'
+    # (scatter + einsum), 'split' (scatter + read-only pallas kernel),
+    # 'fused' (write+attend aliased kernel; writes full cache panels back —
+    # r1 experiment, loses), 'dma' (HBM-resident cache, manual
+    # double-buffered DMA streaming + windowed writes, flash-decoding split
+    # over KV chunks; r3 rewrite: all-KV-heads-per-chunk DMAs + DYNAMIC
+    # trip count = work O(pos), not O(S_max)).
+    # Measured r3 (scripts/probe_dma_decode.py, 7B shapes L-cycled int8-KV,
+    # µs/layer-step, xla vs dma): S_max 2048: 481/479 (pos 128), 473/454
+    # (1k), 593/627 (1.9k); S_max 4096: 557/464 (1k), 557/504 (3.9k);
+    # S_max 8192: 675/474 (1k), 609/498 (4k), 604/550 (8k).
+    # In-range (<=2048) it's a wash; past 4096 the dma kernel wins 9-30%
+    # (most at short live pos — the dynamic trip count). 'auto' switches
+    # at decode_dma_min_s.
+    "decode_attn_mode": "auto",
+    "decode_dma_min_s": 4096,
     # Paged decode attention: 'fused' (block-table-chasing Pallas kernel,
     # windowed write + whole-block streaming, online softmax) or 'xla'
     # (scatter write + dense gathered view per step). Measured 7B int8-wo
