@@ -91,3 +91,46 @@ def test_beam_eos_freezes(sess):
             i = toks.index(eos)
             assert all(t == 0 for t in toks[i + 1:]), toks
             assert out.beam_lengths[0, wi] == i + 1
+
+
+def _paged_sess():
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    return GenerationSession(cfg, params,
+                             EngineConfig(max_input_len=16, max_seq_len=48),
+                             beam_paged_block=4)
+
+
+def test_beam_paged_indirection_matches_dense(sess):
+    """paged_block beam search (carried block-table indirection, the
+    reference's cache_indirection) must produce exactly the dense
+    windowed-gather engine's beams — tokens, lengths, and scores — while
+    its per-step reorder traffic is O(block_size)."""
+    rng = np.random.default_rng(4)
+    prompts = rng.integers(3, 250, (2, 7))
+    ref = sess.generate(prompts, sampling=SamplingConfig(
+        end_id=-1, beam_width=3), max_new_tokens=8)
+    paged_sess = _paged_sess()
+    got = paged_sess.generate(prompts, sampling=SamplingConfig(
+        end_id=-1, beam_width=3), max_new_tokens=8)
+    np.testing.assert_array_equal(got.beam_ids, ref.beam_ids)
+    np.testing.assert_array_equal(got.beam_lengths, ref.beam_lengths)
+    np.testing.assert_allclose(got.beam_scores, ref.beam_scores, atol=1e-4)
+
+
+def test_beam_paged_indirection_with_eos(sess):
+    """Frozen beams under the indirection path: EOS freeze semantics must
+    match the dense path (frozen rows keep self-adopting their own
+    blocks)."""
+    rng = np.random.default_rng(9)
+    prompts = rng.integers(3, 250, (1, 6))
+    free = sess.generate(prompts, sampling=SamplingConfig(
+        end_id=-1, beam_width=2), max_new_tokens=6)
+    eos = int(free.beam_ids[0, 0, 2])
+    ref = sess.generate(prompts, sampling=SamplingConfig(
+        end_id=eos, beam_width=2), max_new_tokens=6)
+    paged_sess = _paged_sess()
+    got = paged_sess.generate(prompts, sampling=SamplingConfig(
+        end_id=eos, beam_width=2), max_new_tokens=6)
+    np.testing.assert_array_equal(got.beam_ids, ref.beam_ids)
+    np.testing.assert_array_equal(got.beam_lengths, ref.beam_lengths)

@@ -6,18 +6,26 @@ kernels/beamSearchTopkKernels.cu, decodingKernels.cu:gatherTree) and the
 runtime's `cache_indirection` machinery (_tile_beam_width,
 generation.py:30,991).
 
-TPU design: beams live as extra batch rows ([B*W] layout). Instead of the
-reference's cache-indirection tables (pointer-chased inside the mmha
-kernel), beam reordering physically gathers the KV cache along the batch
-axis — but only over the *generated window* [prefill_len, prefill_len +
-max_new): every beam of a batch ran the identical tiled prefill, so the
-prefix is bit-identical across beams and never needs reordering. Per step
-that is O(L*BW*H*T_new*D) HBM traffic instead of O(..*S..) — the TPU shape
-of the reference's cache_indirection trick (generation.py:991), with the
-indirection resolved eagerly by a windowed gather+scatter instead of
-pointer-chasing inside the attention kernel. Token histories are carried
-per-slot and re-gathered with their parent beams, so no final gatherTree
-backtrack is needed: the history IS the path.
+TPU design: beams live as extra batch rows ([B*W] layout). Two reorder
+strategies, identical outputs (tested):
+
+- default (dense cache): beam reordering physically gathers the KV cache
+  along the batch axis — but only over the *generated window*
+  [prefill_len, prefill_len + max_new): every beam of a batch ran the
+  identical tiled prefill, so the prefix is bit-identical across beams and
+  never needs reordering. Per step that is O(L*BW*H*T_new*D) HBM traffic
+  instead of O(..*S..).
+- paged_block > 0: a CARRIED block-table indirection (_reorder_paged) —
+  the true TPU shape of the reference's cache_indirection
+  (generation.py:991, mmha cache_indir): adopting a parent copies its
+  table row (ints) for completed blocks and physically copies only the
+  current partial block; the paged decode attention chases the tables.
+  Per-step reorder traffic is O(block_size) — constant in both sequence
+  and generation length.
+
+Token histories are carried per-slot and re-gathered with their parent
+beams, so no final gatherTree backtrack is needed: the history IS the
+path.
 
 Scoring: cumulative log-probs with Google-style length penalty
 ((5+len)/6)^alpha (the reference's length_penalty semantics). Finished
@@ -40,6 +48,48 @@ def _tile_beams(x, w):
     return jnp.repeat(x, w, axis=0)
 
 
+def _init_beam_paged(cfg, bw: int, max_len: int, bs: int, kv_scales):
+    """Paged pool for beams: row b owns blocks [b*nbr, (b+1)*nbr); tables
+    start as identity (every row reads/writes its own blocks)."""
+    from ..ops.paged_attention import init_paged_caches
+
+    nbr = -(-max_len // bs)
+    cache = init_paged_caches(cfg, bw * nbr, bs, bw, nbr, kv_scales)
+    ident = (jnp.arange(bw)[:, None] * nbr
+             + jnp.arange(nbr)[None, :]).astype(jnp.int32)
+    return cache._replace(tables=ident), nbr
+
+
+def _reorder_paged(cache, gidx, positions, bs: int, nbr: int):
+    """Carried block-table indirection — the TPU shape of the reference's
+    cache_indirection (runtime/generation.py:991, mmha beam cache_indir):
+    beams never physically move. Adopting a parent copies its TABLE row for
+    the completed blocks (ints) and physically copies only the parent's
+    CURRENT partial block into the child's own slot; all entries at or past
+    the current block point at the child's own blocks, so future writes
+    never touch a shared block. Per-step HBM traffic is O(block_size) —
+    constant in both sequence length and generation length (the windowed
+    dense gather is O(T_new)).
+
+    Invariant (holds inductively from the identity tables): a row's table
+    entries at indices >= its current block always reference its OWN
+    blocks, so `parent_tables[cur]` is the parent's own partial block and
+    shared (completed) blocks are never written again."""
+    bw, _ = cache.tables.shape
+    pos_p = jnp.take(positions, gidx)                 # parent write position
+    cur = (pos_p // bs)[:, None]                      # [BW, 1]
+    par_tables = cache.tables[gidx]                   # adopt parent rows
+    own = (jnp.arange(bw)[:, None] * nbr
+           + jnp.arange(nbr)[None, :]).astype(jnp.int32)
+    i_idx = jnp.arange(nbr)[None, :]
+    tables = jnp.where(i_idx < cur, par_tables, own)
+    src = jnp.take_along_axis(par_tables, cur, 1)[:, 0]   # [BW]
+    dst = jnp.take_along_axis(own, cur, 1)[:, 0]
+    pool_k = cache.pool_k.at[:, dst].set(cache.pool_k[:, src])
+    pool_v = cache.pool_v.at[:, dst].set(cache.pool_v[:, src])
+    return cache._replace(pool_k=pool_k, pool_v=pool_v, tables=tables)
+
+
 def _gather_cache_window(a, gidx, base, tnew: int):
     """Reorder a stacked cache [L, BW, H, S, D] to parent beams, touching
     only the generated window of `tnew` positions starting at `base` [BW]
@@ -56,12 +106,18 @@ def _gather_cache_window(a, gidx, base, tnew: int):
 def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
                        beam_width: int, max_new_tokens: int,
                        end_id: int = 2, pad_id: int = 0,
-                       length_penalty: float = 0.0, model=None):
+                       length_penalty: float = 0.0, model=None,
+                       paged_block: int = 0, kv_scales=None):
     """Greedy-prefill + beam-search generation.
 
     input_ids: [B, S]; seq_lens: [B]; caches: stacked KVCache sized for
     batch B*W. Returns (output_ids [B, W, T], out_lens [B, W],
     scores [B, W]) sorted best-first per batch.
+
+    paged_block > 0: carry a block-table indirection instead of physically
+    gathering the KV window per step (_reorder_paged — the reference's
+    cache_indirection); `caches` is ignored and a paged pool of that block
+    size is built in-graph. Outputs are identical either way (tested).
     """
     from ..models import llama
     model = model if model is not None else llama
@@ -69,6 +125,10 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
     b, s = input_ids.shape
     w = beam_width
     bw = b * w
+    nbr = 0
+    if paged_block:
+        caches, nbr = _init_beam_paged(cfg, bw, s + max_new_tokens,
+                                       paged_block, kv_scales)
 
     # Prefill runs on tiled rows (so the caches are aligned per beam slot).
     ids_t = _tile_beams(input_ids, w)
@@ -118,10 +178,15 @@ def beam_search_decode(params, cfg, input_ids, seq_lens, caches, *,
         # Gather state from parent beams (caches: generated window only —
         # the tiled prefill prefix is identical across beams).
         gidx = (jnp.arange(b)[:, None] * w + parent).reshape(bw)  # [BW]
-        caches = jax.tree.map(
-            lambda a: (_gather_cache_window(a, gidx, lens_t, max_new_tokens)
-                       if a.ndim == 5 else a),
-            caches)
+        if paged_block:
+            caches = _reorder_paged(caches, gidx, positions, paged_block,
+                                    nbr)
+        else:
+            caches = jax.tree.map(
+                lambda a: (_gather_cache_window(a, gidx, lens_t,
+                                                max_new_tokens)
+                           if a.ndim == 5 else a),
+                caches)
         out = jnp.take_along_axis(out, parent[:, :, None], axis=1)
         out_lens = jnp.take_along_axis(out_lens, parent, axis=1)
         was_finished = jnp.take_along_axis(finished, parent, axis=1)

@@ -70,7 +70,14 @@ class GenerationOutput:
 class GenerationSession:
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  mapping: Optional[Mapping] = None, mesh=None,
-                 kv_scales=None, model=None):
+                 kv_scales=None, model=None,
+                 beam_paged_block: int = 0):
+        # beam_paged_block > 0: beam search carries a block-table
+        # indirection (runtime/beam.py::_reorder_paged — the reference's
+        # cache_indirection) instead of physically gathering the generated
+        # KV window each step; per-step reorder traffic becomes
+        # O(block_size), constant in generation length.
+        self.beam_paged_block = int(beam_paged_block)
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
             enable_compile_cache()   # TRT-engine-file analogue (VERDICT #7)
@@ -372,12 +379,16 @@ class GenerationSession:
 
             model = self.model
 
+            paged_blk = self.beam_paged_block
+            kv_scales = self.kv_scales
+
             def fn(params, input_ids, seq_lens, caches):
                 return beam_search_decode(
                     params, cfg, input_ids, seq_lens, caches, model=model,
                     beam_width=scfg.beam_width, max_new_tokens=max_new,
                     end_id=scfg.end_id, pad_id=scfg.pad_id,
-                    length_penalty=scfg.length_penalty)
+                    length_penalty=scfg.length_penalty,
+                    paged_block=paged_blk, kv_scales=kv_scales)
 
             # no donation: beam_search_decode returns only (ids, lens,
             # scores) — the cache is scan-carried (aliased in place inside
@@ -385,7 +396,8 @@ class GenerationSession:
             # cannot alias anything and only triggers XLA's
             # donated-buffers-not-usable warning.
             self._fn_cache[key] = jax.jit(fn)
-        caches = self.make_caches(b * scfg.beam_width, max_len)
+        caches = (0 if self.beam_paged_block       # built in-graph (paged)
+                  else self.make_caches(b * scfg.beam_width, max_len))
         out, lens, scores = self._fn_cache[key](
             self.params, jnp.asarray(padded),
             jnp.asarray(seq_lens, jnp.int32), caches)
