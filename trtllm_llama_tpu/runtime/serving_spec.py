@@ -74,11 +74,16 @@ class SpeculativeServingEngine(ServingEngine):
         self.draft_model = (draft_model if draft_model is not None
                             else by_architecture(
                                 getattr(draft_cfg, "architecture", "llama")))
-        self.draft_params = draft_params
-        if not os.environ.get("TLLM_NO_FUSE_QKV"):
-            fuse = getattr(self.draft_model, "fuse_qkv_params", None)
-            if fuse is not None:
-                self.draft_params = fuse(self.draft_params)
+        if draft_params is params:
+            # self-draft: share the (already fused) target params — fusing
+            # a second copy doubles 7B weight HBM and OOMs a single chip
+            self.draft_params = self.params
+        else:
+            self.draft_params = draft_params
+            if not os.environ.get("TLLM_NO_FUSE_QKV"):
+                fuse = getattr(self.draft_model, "fuse_qkv_params", None)
+                if fuse is not None:
+                    self.draft_params = fuse(self.draft_params)
         self.gamma = int(gamma)
         self._dkv_scales = draft_kv_scales
         # target cache got its γ+1 verify-slab headroom via cache_headroom

@@ -108,9 +108,14 @@ class SpeculativeSession:
             fuse_t = getattr(self.model, "fuse_qkv_params", None)
             if fuse_t is not None:
                 self.params = fuse_t(self.params)
-            fuse_d = getattr(self.draft_model, "fuse_qkv_params", None)
-            if fuse_d is not None:
-                self.draft_params = fuse_d(self.draft_params)
+            if draft_params is params:
+                # self-draft: share the fused target params (a second fused
+                # copy would double 7B weight HBM)
+                self.draft_params = self.params
+            else:
+                fuse_d = getattr(self.draft_model, "fuse_qkv_params", None)
+                if fuse_d is not None:
+                    self.draft_params = fuse_d(self.draft_params)
         if jax.default_backend() != "cpu":
             from ..ops.registry import enable_pallas_kernels
             enable_pallas_kernels(True)
