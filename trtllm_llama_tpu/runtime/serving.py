@@ -88,6 +88,7 @@ class ServingEngine:
                  cache_headroom: int = 0,
                  max_bad_words: int = 0,
                  max_bad_word_len: int = 4,
+                 mixed_step: bool = False,
                  mapping=None, mesh=None):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
@@ -106,10 +107,19 @@ class ServingEngine:
         from ..parallel.mapping import Mapping
         self.mapping = mapping or Mapping()
         self.mesh = mesh
-        if mesh is not None and (self.mapping.dp * self.mapping.sp
-                                 * self.mapping.pp != 1):
-            raise ValueError("sharded serving supports tp (and ep) axes "
-                             "only — the slot pool is the batch")
+        if mesh is not None and (self.mapping.dp * self.mapping.pp != 1
+                                 or getattr(self.mapping, "shard_kv_seq",
+                                            False)):
+            raise ValueError(
+                "sharded serving supports tp (and ep) axes, plus sp for "
+                "prefill compute — the slot pool is the batch, so dp/pp "
+                "(and sp-sharded KV) are rejected")
+        # sp composes as PREFILL sharding only: long-prompt admission FLOPs
+        # spread over the sp axis (with_sharding_constraint on the token
+        # grid, same mechanism as GenerationSession); decode and the KV
+        # cache stay sharded over tp heads only.
+        self._sp_on = (mesh is not None and "sp" in mesh.axis_names
+                       and getattr(self.mapping, "sp", 1) > 1)
         # Multi-host continuous batching (reference GptManager.h:48-89 runs
         # request/response callbacks on the driving rank): every process
         # executes the identical SPMD step() program over a global mesh;
@@ -182,6 +192,18 @@ class ServingEngine:
             raise ValueError(
                 f"model family {getattr(cfg, 'architecture', 'llama')!r} "
                 "has no forward_extend — chunked prefill unavailable")
+        # mixed step (reference ibGptAttention's per-request mixed
+        # context/generation dispatch, by a different decomposition): fold
+        # the admission prefill and the decode chunk into ONE jitted call —
+        # fresh slots are activated in-graph and join the same chunk's
+        # decode loop, saving one dispatch per step under churn at the cost
+        # of a (bucket, nb, chunk)-product compile space. Dense cache only;
+        # measured comparison in docs/serving.md.
+        self.mixed = (bool(mixed_step) and not paged and not self.packed
+                      and prefill_chunk is None)
+        if mixed_step and not self.mixed:
+            raise ValueError("mixed_step needs the dense non-packed, "
+                             "non-chunked-prefill configuration")
         self._partial: Dict[int, int] = {}    # request_id -> next chunk start
         # per-request model logprobs of emitted tokens (engine-side so the
         # host scheduler - and its C++ twin - stay token-only)
@@ -300,12 +322,22 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def _prefill_fn(self, bucket: int, nb: int):
+        return jax.jit(self._prefill_body(bucket, nb), donate_argnums=(1,))
+
+    def _prefill_body(self, bucket: int, nb: int):
         """Batched prefill: nb requests into their slots, one device call."""
         cfg, scfg, model = self.cfg, self.scfg, self.model
         per_request = self.per_request
         want_lp = self.return_logprobs
 
+        sp_on = self._sp_on and bucket % self.mapping.sp == 0
+        mesh = self.mesh
+
         def fn(params, caches, ids, lengths, slots, key, slot_params):
+            if sp_on:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ids = jax.lax.with_sharding_constraint(
+                    ids, NamedSharding(mesh, P(None, "sp")))
             scratch = model.init_caches(cfg, nb, bucket, self._kv_scales)
             logits, scratch = model.forward_prefill(
                 params, cfg, ids, lengths, scratch)
@@ -329,7 +361,7 @@ class ServingEngine:
                 v = jax.lax.dynamic_update_slice(v, scratch.v[:, i:i + 1], sl)
             return caches._replace(k=k, v=v), tokens, counts, lp
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return fn
 
     def _paged_prefill_fn(self, bucket: int, nb: int):
         cfg, scfg = self.cfg, self.scfg
@@ -546,6 +578,9 @@ class ServingEngine:
         return finished
 
     def _decode_fn(self, n_steps: int):
+        return jax.jit(self._decode_body(n_steps), donate_argnums=(1,))
+
+    def _decode_body(self, n_steps: int):
         cfg, scfg, model = self.cfg, self.scfg, self.model
         per_request = self.per_request
         n_rows = self.n_rows
@@ -608,36 +643,157 @@ class ServingEngine:
             return (caches, tokens, lens, active, gen, out, counts, out_lp,
                     tail)
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return fn
 
     def _get(self, key, builder, *args):
         if key not in self._fn_cache:
             self._fn_cache[key] = builder(*args)
         return self._fn_cache[key]
 
+    def _mixed_fn(self, bucket: int, nb: int, n_steps: int):
+        """Fused admission-prefill + decode chunk: one device dispatch.
+
+        The prefill body runs first; the fresh slots' per-slot state is
+        activated IN-GRAPH (the scatters _register_prefilled would issue
+        from the host), including the same EOS/budget freeze the host
+        applies between the calls; then the decode body advances every
+        active slot — fresh ones included, exactly like the separate-call
+        path. `real` masks the power-of-two padding rows (their slot id is
+        the trash slot, which must stay inactive)."""
+        scfg = self.scfg
+        per_request = self.per_request
+        use_tail = self.max_bad_words > 0
+        pbody = self._prefill_body(bucket, nb)
+        dbody = self._decode_body(n_steps)
+
+        def fn(params, caches, ids, lengths, slots, real, new_budgets, key,
+               slot_params, tokens, lens, active, gen, budget, counts, tail):
+            kp, kd = jax.random.split(key)
+            caches, ptoks, pcounts, plp = pbody(params, caches, ids,
+                                                lengths, slots, kp,
+                                                slot_params)
+            tokens = tokens.at[slots].set(ptoks)
+            lens = lens.at[slots].set(lengths)
+            active = active.at[slots].set(real)
+            gen = gen.at[slots].set(1)
+            budget = budget.at[slots].set(new_budgets)
+            if per_request:
+                counts = counts.at[slots].set(pcounts)
+            if use_tail:
+                t_len = tail.shape[1]
+                fresh = jnp.full((nb, t_len), -2, jnp.int32)
+                fresh = fresh.at[:, -1].set(ptoks)
+                tail = tail.at[slots].set(fresh)
+            # the host applies this freeze via record_token between the
+            # separate calls; replicate it so an EOS/1-token-budget fresh
+            # slot does not decode (existing rows already satisfy it)
+            active = active & (tokens != scfg.end_id) & (gen < budget)
+            (caches, tokens, lens, active, gen, out, counts, out_lp,
+             tail) = dbody(params, caches, tokens, lens, active, gen,
+                           budget, kd, slot_params, counts, tail)
+            return (caches, tokens, lens, active, gen, budget, out, counts,
+                    out_lp, tail, ptoks, plp)
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _mixed_phase(self, reqs: List[Request], bucket: int
+                     ) -> Optional[List[FinishedRequest]]:
+        """One fused prefill+decode dispatch for this step, or None when
+        the step has no decode budget (caller falls back to the separate
+        calls)."""
+        existing = [r for r in self.scheduler.active_requests()
+                    if r not in reqs]
+        budgets = ([r.max_new_tokens - len(r.output_ids) for r in existing]
+                   + [r.max_new_tokens - 1 for r in reqs])
+        chunk = min(self.decode_chunk, max(budgets)) if budgets else 0
+        if chunk <= 0:
+            return None
+        nb = len(reqs)
+        ids = np.full((nb, bucket), self.scfg.pad_id, np.int32)
+        lengths = np.ones((nb,), np.int32)
+        slots = np.full((nb,), self.trash_slot, np.int32)
+        real = np.zeros((nb,), bool)
+        new_budgets = np.zeros((nb,), np.int32)
+        for i, req in enumerate(reqs):
+            ids[i, :len(req.input_ids)] = req.input_ids
+            lengths[i] = len(req.input_ids)
+            slots[i] = req.slot
+            real[i] = True
+            new_budgets[i] = req.max_new_tokens
+            if self.per_request:
+                scfg_i = self._req_sampling.get(req.request_id, self.scfg)
+                self.slot_params = self.slot_params.set_slot(req.slot,
+                                                             scfg_i)
+        fn = self._get(("mixed", bucket, nb, chunk), self._mixed_fn,
+                       bucket, nb, chunk)
+        slot_params = self.slot_params if self.per_request else 0
+        counts = self.slot_counts if self.per_request else 0
+        tail = self.slot_tail if self.max_bad_words else 0
+        (self.caches, self.slot_tokens, self.slot_lens, self.slot_active,
+         self.slot_gen, self.slot_budget, out, counts, out_lp, tail, ptoks,
+         plps) = fn(
+            self.params, self.caches, self._dev(ids), self._dev(lengths),
+            self._dev(slots), self._dev(real), self._dev(new_budgets),
+            self._next_key(), slot_params, self.slot_tokens, self.slot_lens,
+            self.slot_active, self.slot_gen, self.slot_budget, counts, tail)
+        if self.per_request:
+            self.slot_counts = counts
+        if self.max_bad_words:
+            self.slot_tail = tail
+        finished = self._register_prefilled(
+            reqs, self._read(ptoks), self._read(plps), device_updated=True)
+        out = self._read(out)
+        out_lp = self._read(out_lp) if self.return_logprobs else None
+        # decode bookkeeping over whoever is still in flight
+        decoding = [r for r in self.scheduler.active_requests()
+                    if r.request_id not in self._partial]
+        for req in decoding:
+            slot = req.slot
+            for j, t in enumerate(out[slot]):
+                if self.return_logprobs:
+                    self._req_logprobs.setdefault(
+                        req.request_id, []).append(float(out_lp[slot, j]))
+                if self.scheduler.record_token(req.request_id, int(t),
+                                               self.scfg.end_id):
+                    self._release_slot(slot)
+                    self._req_sampling.pop(req.request_id, None)
+                    finished.append(self._finish_recorded(req))
+                    break
+                if self._stop_matched(req):
+                    finished.append(self._finish_stopped(req))
+                    break
+        return finished
+
     def _register_prefilled(self, reqs: List[Request], tokens: np.ndarray,
-                            lps: Optional[np.ndarray] = None
+                            lps: Optional[np.ndarray] = None,
+                            device_updated: bool = False
                             ) -> List[FinishedRequest]:
         """Activate freshly prefilled slots with BATCHED device updates (one
         scatter per state array instead of a 5-dispatch chain per request —
-        dispatch latency through the tunnel dominated admission)."""
+        dispatch latency through the tunnel dominated admission).
+        device_updated=True (mixed step) skips the scatters: the fused call
+        already activated the slots in-graph; only the host scheduler
+        bookkeeping below runs."""
         import numpy as _np
-        slots = self._dev(_np.array([r.slot for r in reqs], _np.int32))
-        self.slot_lens = self.slot_lens.at[slots].set(self._dev(
-            _np.array([len(r.input_ids) for r in reqs], _np.int32)))
-        self.slot_tokens = self.slot_tokens.at[slots].set(
-            self._dev(tokens[:len(reqs)].astype(_np.int32)))
-        self.slot_active = self.slot_active.at[slots].set(True)
-        self.slot_budget = self.slot_budget.at[slots].set(self._dev(
-            _np.array([r.max_new_tokens for r in reqs], _np.int32)))
-        self.slot_gen = self.slot_gen.at[slots].set(1)
-        if self.max_bad_words:
-            # reseed tails: -2 sentinel (pre-generation), then the first
-            # sampled token (bad/stop matching is over generated ids only)
-            t_len = self.slot_tail.shape[1]
-            rows = _np.full((len(reqs), t_len), -2, _np.int32)
-            rows[:, -1] = tokens[:len(reqs)].astype(_np.int32)
-            self.slot_tail = self.slot_tail.at[slots].set(self._dev(rows))
+        if not device_updated:
+            slots = self._dev(_np.array([r.slot for r in reqs], _np.int32))
+            self.slot_lens = self.slot_lens.at[slots].set(self._dev(
+                _np.array([len(r.input_ids) for r in reqs], _np.int32)))
+            self.slot_tokens = self.slot_tokens.at[slots].set(
+                self._dev(tokens[:len(reqs)].astype(_np.int32)))
+            self.slot_active = self.slot_active.at[slots].set(True)
+            self.slot_budget = self.slot_budget.at[slots].set(self._dev(
+                _np.array([r.max_new_tokens for r in reqs], _np.int32)))
+            self.slot_gen = self.slot_gen.at[slots].set(1)
+            if self.max_bad_words:
+                # reseed tails: -2 sentinel (pre-generation), then the first
+                # sampled token (bad/stop matching is over generated ids
+                # only)
+                t_len = self.slot_tail.shape[1]
+                rows = _np.full((len(reqs), t_len), -2, _np.int32)
+                rows[:, -1] = tokens[:len(reqs)].astype(_np.int32)
+                self.slot_tail = self.slot_tail.at[slots].set(
+                    self._dev(rows))
         finished = []
         for i, req in enumerate(reqs):
             if self.return_logprobs and lps is not None:
@@ -904,6 +1060,20 @@ class ServingEngine:
                     scfg_i = self._req_sampling.get(req.request_id, self.scfg)
                     self.slot_params = self.slot_params.set_slot(
                         req.slot, scfg_i)
+        if self.mixed and admitted:
+            # single fused dispatch when the whole admission is one
+            # power-of-two same-bucket group and there is decode budget
+            groups: Dict[int, List[Request]] = {}
+            for req in admitted:
+                groups.setdefault(
+                    self.engine_cfg.bucket_for(len(req.input_ids)),
+                    []).append(req)
+            if len(groups) == 1:
+                (bucket, group), = groups.items()
+                if _pow2_groups(len(group), self.max_slots)[0] == len(group):
+                    mixed = self._mixed_phase(group, bucket)
+                    if mixed is not None:
+                        return finished + mixed
         if self.packed:
             if admitted:
                 finished.extend(self._admit_packed(admitted))
