@@ -38,13 +38,27 @@ _MAX_ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "3"))
 
 
 def _emit(payload: dict) -> None:
-    """Print the one JSON line the driver parses (always, even on failure)."""
+    """Print the one JSON line the driver parses (always, even on failure).
+    Every record is also appended to scripts/bench_history.jsonl with its
+    env-knob context — the committed raw artifact behind every README
+    results cell (the reference backs its table with test_res/*.txt)."""
     if os.environ.get("BENCH_TINY"):     # smoke runs must not look like 7B
         payload["metric"] = payload["metric"].replace(
             "LLaMA-7B", "TINY-SMOKE")
         payload["vs_baseline"] = None
     print(json.dumps(payload))
     sys.stdout.flush()
+    try:
+        rec = dict(payload)
+        rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        rec["env"] = {k: v for k, v in os.environ.items()
+                      if k.startswith("BENCH_")}
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts", "bench_history.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass                             # read-only checkout: stdout stands
 
 # A10 reference Task-B latencies for 50 new tokens, bs1 in8 (BASELINE.md)
 _BASELINE_TOKS_PER_S = {
@@ -145,10 +159,23 @@ def serving_bench(config_name: str):
 
     slots = int(os.environ.get("BENCH_SLOTS", "8"))
     n_req = int(os.environ.get("BENCH_REQUESTS", "24"))
+    dmode = os.environ.get("BENCH_DECODE_ATTN")
+    if dmode:
+        from trtllm_llama_tpu.ops.registry import KERNELS
+        KERNELS["decode_attn_mode"] = dmode
     in_len, out_len = 128, 64
     qm = {"int8": QuantMode.use_weight_only(False),
           "int4": QuantMode.use_weight_only(True, per_group=True),
           "fp16": QuantMode(0)}[config_name]
+    # BENCH_SPEC_KV=1 (speculative only): int8-KV caches for BOTH models.
+    # Two 7B cache sets + the XLA loop-carry copies of each (the
+    # read-after-traced-write hazard, docs/kernels.md) exceed single-chip
+    # HBM in bf16; int8 KV halves both and is the deployment pairing.
+    # Resolved BEFORE building params: materializing a second 6.7 GB
+    # weight set while the first is still live OOMs the chip.
+    spec_kv = bool(int(os.environ.get("BENCH_SPEC_KV", "0")))
+    if spec_kv and os.environ.get("BENCH_SPEC_DRAFT"):
+        qm = qm | QuantMode.INT8_KV_CACHE
     cfg = _model_cfg(quant_mode=qm,
                      group_size=128 if config_name == "int4" else 0)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm)
@@ -162,6 +189,7 @@ def serving_bench(config_name: str):
         KERNELS["paged_attn_mode"] = pmode
     packed = bool(int(os.environ.get("BENCH_PACKED", "0")))
     pchunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "0")) or None
+    mixed = bool(int(os.environ.get("BENCH_MIXED", "0")))
     spec_draft = os.environ.get("BENCH_SPEC_DRAFT")   # self | random
     if spec_draft:
         # the spec engine is dense/non-packed/non-chunked: drop the flags
@@ -171,6 +199,8 @@ def serving_bench(config_name: str):
             SpeculativeServingEngine,
         )
         gamma = int(os.environ.get("BENCH_GAMMA", "4"))
+        kvs = (np.full((cfg.num_layers,), 0.05, np.float32) if spec_kv
+               else None)
         if spec_draft == "self":
             dcfg, dparams = cfg, params
         else:
@@ -183,6 +213,7 @@ def serving_bench(config_name: str):
         eng = SpeculativeServingEngine(
             cfg, params, dcfg, dparams, ecfg, gamma=gamma,
             sampling=SamplingConfig(end_id=-1),
+            kv_scales=kvs, draft_kv_scales=kvs,
             decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")))
     else:
         eng = ServingEngine(
@@ -192,7 +223,13 @@ def serving_bench(config_name: str):
             paged=paged,
             block_size=int(os.environ.get("BENCH_BLOCK", "64")),
             packed_prefill=packed,
-            prefill_chunk=pchunk)
+            prefill_chunk=pchunk,
+            mixed_step=mixed)
+    # the engine fused q/k/v (+gate/up) into NEW stacked arrays that share
+    # the remaining leaves; dropping the bench's reference to the originals
+    # frees the ~4.5 GB of superseded unfused projections (without this the
+    # two-cache speculative configuration exceeds single-chip HBM)
+    params = dparams = None                                  # noqa: F841
     rng = np.random.default_rng(0)
     # warm the compile paths the measured run will hit: a single request
     # (nb=1 prefill) and a full-slot wave (nb=slots prefill + decode chunk)
@@ -217,7 +254,9 @@ def serving_bench(config_name: str):
                   + (", paged" if paged else "")
                   + (", packed" if packed else "")
                   + (f", chunked{pchunk}" if pchunk else "")
-                  + (f", spec-{spec_draft}" if spec_draft else "") + ")",
+                  + (", mixed" if mixed else "")
+                  + (f", spec-{spec_draft}" if spec_draft else "")
+                  + (", int8kv" if spec_draft and spec_kv else "") + ")",
         "value": round(total_tokens / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching
