@@ -81,7 +81,14 @@ def test_compile_cache_keyed_by_host_fingerprint(tmp_path, monkeypatch):
     assert fp == cc.host_fingerprint()          # stable on one host
     assert len(fp) == 12
 
+    # on the CPU backend the persistent cache is refused outright: LLVM
+    # tuning features (+prefer-no-gather) are invisible to cpuinfo
+    # fingerprinting, so CPU AOT reuse across hosts is never safe
     monkeypatch.setattr(cc, "_enabled", False)
+    monkeypatch.delenv("TLLM_CACHE_CPU", raising=False)
+    assert cc.enable_compile_cache(str(tmp_path / "cache")) == ""
+
+    monkeypatch.setenv("TLLM_CACHE_CPU", "1")
     got = cc.enable_compile_cache(str(tmp_path / "cache"))
     assert got == str(tmp_path / "cache" / fp)
     assert os.path.isdir(got)

@@ -69,10 +69,12 @@ def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
         fan_in = shape[-2]
         if quant_mode.has_fp8_qdq():
             from .tensors import FP8Weight
-            k1, k2 = jax.random.split(k)
-            mag = jax.random.randint(k1, shape, 0, 0x7F, dtype=jnp.int32)
-            sign = jax.random.randint(k2, shape, 0, 2, dtype=jnp.int32) << 7
-            codes = (mag | sign).astype(jnp.uint8)   # never the NaN code
+            # draw uint8 codes directly: int32 draws of the full stacked
+            # weight shape are 4 bytes/elem transients (2x 5.8 GB for the
+            # 7B gate weight) and OOM a 16 GB chip during init
+            codes = jax.random.randint(k, shape, 0, 256, dtype=jnp.uint8)
+            # remap the two NaN codes (0x7F/0xFF) to the adjacent finite
+            codes = jnp.where((codes & 0x7F) == 0x7F, codes - 1, codes)
             scale = jnp.full(shape[:-2] + (shape[-1],),
                              (fan_in ** -0.5) / 448.0, jnp.float32)
             return FP8Weight(codes, scale)

@@ -51,6 +51,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
     global _enabled
     import jax
 
+    # Never persist-cache CPU executables: XLA:CPU AOT artifacts embed
+    # LLVM-derived *tuning* features (+prefer-no-gather/scatter) chosen from
+    # the CPU model, which /proc/cpuinfo fingerprinting cannot capture —
+    # hosts with identical cpuinfo flag sets still produce incompatible
+    # artifacts whose deserialization warns "could lead to SIGILL"
+    # (cpu_aot_loader.cc:210). CPU is only the test/dryrun backend here;
+    # the cache's value is the TPU bench/serve path, which keys correctly.
+    if jax.default_backend() == "cpu" and not os.environ.get(
+            "TLLM_CACHE_CPU"):
+        return ""
     if cache_dir is None:
         cache_dir = os.environ.get("TLLM_CACHE_DIR")
     if cache_dir is None:
