@@ -63,3 +63,70 @@ def test_woq_matmul_stacked(w_bits, group_size):
         y = woq_matmul_stacked(jnp.asarray(x), woq, layer, interpret=True)
         y_ref = x @ np.asarray(woq.dequantize())[layer]
         np.testing.assert_allclose(np.asarray(y), y_ref, atol=3e-2, rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# FP8 (e4m3fn) variant: same kernel family, decode differs
+# ---------------------------------------------------------------------------
+
+def test_fp8_decode_block_exact_on_encodable_codes():
+    """The kernel's 7-op bit-plant decode must agree with the exact
+    arithmetic codec (ops/fp8.py) on every ENCODABLE code — all of them
+    except the 14 subnormals (flushed to +-0 by quantize_fp8_weight at
+    encode time, its documented storage contract) and the 2 NaN codes
+    (never emitted; decode to +-480)."""
+    import jax
+    from trtllm_llama_tpu.ops.fp8 import fp8_decode
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import _decode_fp8_block
+
+    codes = jnp.arange(256, dtype=jnp.uint8).reshape(2, 128)
+    got = np.asarray(jax.jit(
+        lambda c: _decode_fp8_block(c, jnp.float32))(codes))
+    ref = np.asarray(fp8_decode(codes, jnp.float32))
+    c = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    mag = c & 0x7F
+    encodable = ((mag >= 8) & (mag != 0x7F)) | (mag == 0)
+    np.testing.assert_array_equal(got[encodable], ref[encodable])
+
+
+def test_fp8_quantize_never_emits_unencodable_codes():
+    """quantize_fp8_weight's storage contract: no subnormal and no NaN
+    codes, even for weights spanning the subnormal range."""
+    from trtllm_llama_tpu.quantization.tensors import quantize_fp8_weight
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    w[:8] *= 1e-6              # push some weights into the subnormal range
+    w[8] = 0.0
+    q = np.asarray(quantize_fp8_weight(jnp.asarray(w)).qweight)
+    mag = q & 0x7F
+    assert not np.any((mag > 0) & (mag < 8)), "subnormal code emitted"
+    assert not np.any(mag == 0x7F), "NaN code emitted"
+
+
+@pytest.mark.parametrize("m", [1, 8, 100])
+def test_fp8_matmul_matches_reference(m):
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import fp8_matmul
+    from trtllm_llama_tpu.quantization.tensors import quantize_fp8_weight
+    rng = np.random.default_rng(5)
+    k, n = 256, 256
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    f8 = quantize_fp8_weight(jnp.asarray(w))
+    y = fp8_matmul(jnp.asarray(x), f8, interpret=True)
+    y_ref = x @ np.asarray(f8.dequantize())
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=3e-2, rtol=3e-2)
+
+
+def test_fp8_matmul_stacked():
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import fp8_matmul_stacked
+    from trtllm_llama_tpu.quantization.tensors import quantize_fp8_weight
+    rng = np.random.default_rng(6)
+    l, k, n, m = 3, 256, 256, 8
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    f8 = quantize_fp8_weight(jnp.asarray(w))
+    deq = np.asarray(f8.dequantize())
+    for layer in range(l):
+        y = fp8_matmul_stacked(jnp.asarray(x), f8, layer, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), x @ deq[layer],
+                                   atol=3e-2, rtol=3e-2)

@@ -125,3 +125,40 @@ def test_dma_decode_attention_on_chip():
     expected = np.asarray(ref.decode_attention(
         jnp.asarray(q), ref._layer_cache(cache, 1), jnp.asarray(pos + 1)))
     np.testing.assert_allclose(out, expected, atol=3e-2, rtol=3e-2)
+
+
+def test_fp8_decode_exact_on_chip():
+    """The fp8 kernel's 7-op bit-plant decode must match the exact
+    arithmetic codec on ALL encodable codes when Mosaic-compiled (the
+    encoder flushes subnormal codes precisely because the VPU flushes f32
+    subnormals; this pins the contract on real hardware)."""
+    from jax.experimental import pallas as pl
+    from trtllm_llama_tpu.ops.fp8 import fp8_decode
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import _decode_fp8_block
+
+    codes = jnp.arange(256, dtype=jnp.uint8).reshape(2, 128)
+
+    def kern(q_ref, o_ref):
+        o_ref[:] = _decode_fp8_block(q_ref[:], jnp.float32)
+
+    got = np.asarray(pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((2, 128), jnp.float32))(codes))
+    ref = np.asarray(fp8_decode(codes, jnp.float32))
+    c = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    mag = c & 0x7F
+    encodable = ((mag >= 8) & (mag != 0x7F)) | (mag == 0)
+    np.testing.assert_array_equal(got[encodable], ref[encodable])
+
+
+def test_fp8_matmul_on_chip():
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import fp8_matmul
+    from trtllm_llama_tpu.quantization.tensors import quantize_fp8_weight
+
+    rng = np.random.default_rng(7)
+    m, k, n = 16, 256, 512
+    x = (rng.standard_normal((m, k)) * 0.3).astype(np.float32)
+    w = (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+    f8 = quantize_fp8_weight(jnp.asarray(w))
+    out = np.asarray(fp8_matmul(jnp.asarray(x), f8))
+    expected = x @ np.asarray(f8.dequantize())
+    np.testing.assert_allclose(out, expected, atol=5e-2, rtol=5e-2)

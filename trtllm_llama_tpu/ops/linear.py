@@ -103,6 +103,9 @@ def dense(x, w, out_dtype=None, layer=None, part=None):
             x_q, s_x = quantize_per_token(x)
             return _PALLAS["w8a8_matmul_stacked"](
                 x_q, w.qweight, s_x, w.scale_w, layer).astype(out_dtype)
+        if isinstance(w, FP8Weight) and _kern("fp8_matmul_stacked"):
+            out_dtype = out_dtype or x.dtype
+            return _PALLAS["fp8_matmul_stacked"](x, w, layer).astype(out_dtype)
         w = _index_layer(w, layer)
     if isinstance(w, WOQWeight):
         return _dense_woq(x, w, out_dtype)
@@ -143,11 +146,17 @@ def _dense_woq(x, w: WOQWeight, out_dtype=None):
 
 
 def _dense_fp8(x, w: FP8Weight, out_dtype=None):
-    """FP8 weight matmul: arithmetic e4m3 decode (ops/fp8.py) feeding the
-    dot, per-channel scale as the epilogue (scale constant along K, exact).
-    The reference never shipped a runnable FP8 GEMM (fp8_gemm plugin absent;
-    layer.py FP8 classes are stubs)."""
+    """FP8 weight matmul: per-channel scale as the epilogue (scale constant
+    along K, exact). Pallas kernel path decodes e4m3 bytes in VMEM
+    (pallas/woq_matmul.py::_decode_fp8_block — the int8-wo kernel's tiling
+    with a 7-op bit-plant decode); XLA fallback uses the exact arithmetic
+    decode (ops/fp8.py) feeding the dot, which is VPU-bound (~10 ops/elem
+    over the whole weight per decode token). The reference never shipped a
+    runnable FP8 GEMM (fp8_gemm plugin absent; layer.py FP8 classes are
+    stubs)."""
     out_dtype = out_dtype or x.dtype
+    if _kern("fp8_matmul") is not None:
+        return _PALLAS["fp8_matmul"](x, w).astype(out_dtype)
     from .fp8 import fp8_decode
     wf = fp8_decode(w.qweight, x.dtype)
     acc = jnp.dot(x, wf, preferred_element_type=jnp.float32)

@@ -13,12 +13,15 @@ from .dma_decode_attention import dma_decode_attention
 from .paged_decode_attention import paged_decode_attention
 from .rmsnorm_quant import rmsnorm_quant_kernel
 from .w8a8_matmul import w8a8_matmul, w8a8_matmul_stacked
-from .woq_matmul import woq_matmul, woq_matmul_stacked
+from .woq_matmul import (fp8_matmul, fp8_matmul_stacked, woq_matmul,
+                         woq_matmul_stacked)
 
 
 def register(registry: dict):
     registry["woq_matmul"] = woq_matmul
     registry["woq_matmul_stacked"] = woq_matmul_stacked
+    registry["fp8_matmul"] = fp8_matmul
+    registry["fp8_matmul_stacked"] = fp8_matmul_stacked
     registry["w8a8_matmul"] = w8a8_matmul
     registry["w8a8_matmul_stacked"] = w8a8_matmul_stacked
     registry["decode_attention"] = decode_attention_kernel

@@ -83,8 +83,30 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
     o_ref[:] = acc
 
 
+def _decode_fp8_block(q, compute_dtype):
+    """e4m3fn uint8 codes -> compute_dtype in 7 branchless vector ops:
+    plant sign/exp/mantissa straight into their f32 bit positions
+    (sign->31, e4->23..26, m3->20..22), bitcast, multiply by 2^120 to move
+    the exponent bias from 7 to 127. Exact for +-0 and every normal code —
+    i.e. for the engine's ENTIRE encodable code set: quantize_fp8_weight
+    flushes the 14 subnormal codes at encode time (quantization/tensors.py
+    — error <= 7*2^-9 of the channel scale grid) and never emits the two
+    NaN codes, precisely so this hot-path decode needs no subnormal select
+    (i16/i32 vector compares and the extra where/sub cost ~2x decode ops;
+    the decode of each [ck, bn] weight panel is the VPU bottleneck while
+    the dot rides the MXU). Behavior on codes outside the encodable set is
+    unspecified (subnormals flush to zero wherever f32 DAZ/FTZ holds —
+    XLA:CPU and the TPU VPU both flush; NaN codes decode to +-480).
+    ops/fp8.py::fp8_decode remains the exact full-codec oracle."""
+    from jax import lax
+    u = q.astype(jnp.int32)
+    bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
+    f = lax.bitcast_convert_type(bits, jnp.float32)
+    return (f * jnp.float32(2.0 ** 120)).astype(compute_dtype)
+
+
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
-                 compute_dtype, lead=False):
+                 compute_dtype, lead=False, fp8=False):
     W = ((lambda a, b: w_ref[0, a:b, :]) if lead
          else (lambda a, b: w_ref[a:b, :]))
     S = ((lambda a, b: s_ref[0, a:b, :]) if lead
@@ -92,6 +114,8 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
     acc = None
     for c in range(n_chunks):
         qc = W(c * ck, (c + 1) * ck)
+        if fp8:
+            qc = _decode_fp8_block(qc, compute_dtype)
         x_c = x_ref[:, c * ck:(c + 1) * ck].astype(compute_dtype)
         if group_size:
             rows = ck // group_size
@@ -115,8 +139,10 @@ def _default_compute_dtype():
 
 
 def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
-                  compute_dtype=None, interpret=False):
-    """x: [M, K] -> [M, N] f32. w.qweight: [K(/2), N]."""
+                  compute_dtype=None, interpret=False, fp8=False):
+    """x: [M, K] -> [M, N] f32. w.qweight: [K(/2), N].
+    fp8=True: w.qweight holds e4m3fn byte codes (decoded in VMEM by
+    _decode_fp8_block); requires w_bits == 8 and no grouping."""
     compute_dtype = compute_dtype or _default_compute_dtype()
     m, k_x = x.shape
     k = w.k_dim
@@ -172,9 +198,10 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
             _kernel_int4, pack_block=w.pack_block, group_size=gs, k=k,
             compute_dtype=compute_dtype)
     else:
+        assert not (fp8 and gs), "fp8 weights are per-channel scaled"
         kernel = functools.partial(
             _kernel_int8, group_size=gs, ck=ck, n_chunks=n_chunks,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, fp8=fp8)
 
     out = pl.pallas_call(
         kernel,
@@ -218,7 +245,8 @@ def woq_matmul(x, w: WOQWeight, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
-                    pack_block, group_size, k, ck, n_chunks, compute_dtype):
+                    pack_block, group_size, k, ck, n_chunks, compute_dtype,
+                    fp8=False):
     del idx_ref  # consumed by the index_maps
     if w_bits == 4:
         _kernel_int4(x_ref, w_ref, s_ref, o_ref,
@@ -227,12 +255,12 @@ def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
     else:
         _kernel_int8(x_ref, w_ref, s_ref, o_ref,
                      group_size=group_size, ck=ck, n_chunks=n_chunks,
-                     compute_dtype=compute_dtype, lead=True)
+                     compute_dtype=compute_dtype, lead=True, fp8=fp8)
 
 
 def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
                           compute_dtype=None, interpret=False,
-                          n_window=None):
+                          n_window=None, fp8=False):
     """x: [M, K]; w.qweight: [L, K(/2), N]; layer: int32 scalar -> [M, N].
 
     n_window=(start, length): compute only output columns
@@ -297,10 +325,11 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
                               lambda i, j, s: (_sel(s), 0, j + off),
                               memory_space=pltpu.VMEM)
 
+    assert not (fp8 and gs), "fp8 weights are per-channel scaled"
     kernel = functools.partial(
         _kernel_stacked, w_bits=w.w_bits, pack_block=w.pack_block,
         group_size=gs, k=k, ck=ck, n_chunks=n_chunks,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, fp8=fp8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -340,4 +369,35 @@ def woq_matmul_stacked(x, w: WOQWeight, layer, interpret=False,
     x2 = x.reshape(-1, x.shape[-1])
     out = woq_matmul_stacked_2d(x2, w, layer, interpret=interpret,
                                 n_window=n_window)
+    return out.reshape(*lead, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# FP8 (e4m3fn) weight matmul: byte codes share the int8 kernel's exact
+# layout and tiling (1 byte/element, per-channel scale), only the in-VMEM
+# expand differs (_decode_fp8_block instead of an integer convert). The
+# reference never shipped a runnable FP8 GEMM (its fp8_gemm plugin is
+# absent and quantization/layer.py's FP8 classes are stubs).
+# ---------------------------------------------------------------------------
+
+def _fp8_shim(w):
+    """Zero-copy adapter: an FP8Weight's (qweight, scale) already match the
+    int8 per-channel WOQWeight layout ([L?, K, N] bytes + [L?, N] scale)."""
+    return WOQWeight(w.qweight, w.scale, 8, 0, 0)
+
+
+def fp8_matmul(x, w, interpret=False):
+    """Batched entry: x [..., K], FP8Weight [K, N] -> [..., N]."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = woq_matmul_2d(x2, _fp8_shim(w), interpret=interpret, fp8=True)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def fp8_matmul_stacked(x, w, layer, interpret=False, n_window=None):
+    """Batched entry: x [..., K], stacked FP8Weight [L, K, N] -> [..., N]."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = woq_matmul_stacked_2d(x2, _fp8_shim(w), layer, interpret=interpret,
+                                n_window=n_window, fp8=True)
     return out.reshape(*lead, out.shape[-1])

@@ -13,6 +13,8 @@ KERNELS = {
     "enabled": False,
     "woq_matmul": None,
     "woq_matmul_stacked": None,
+    "fp8_matmul": None,
+    "fp8_matmul_stacked": None,
     "w8a8_matmul": None,
     "w8a8_matmul_stacked": None,
     "decode_attention": None,

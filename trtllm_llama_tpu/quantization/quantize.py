@@ -75,6 +75,11 @@ def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
             codes = jax.random.randint(k, shape, 0, 256, dtype=jnp.uint8)
             # remap the two NaN codes (0x7F/0xFF) to the adjacent finite
             codes = jnp.where((codes & 0x7F) == 0x7F, codes - 1, codes)
+            # stay inside the encodable set (no subnormal codes — the
+            # quantize_fp8_weight storage contract): e==0, m>0 -> e=1
+            # (+-0 itself is encodable and stays)
+            sub = ((codes & 0x78) == 0) & ((codes & 7) != 0)
+            codes = jnp.where(sub, codes | 8, codes).astype(jnp.uint8)
             scale = jnp.full(shape[:-2] + (shape[-1],),
                              (fan_in ** -0.5) / 448.0, jnp.float32)
             return FP8Weight(codes, scale)

@@ -254,12 +254,21 @@ class FP8Weight:
 
 
 def quantize_fp8_weight(w) -> FP8Weight:
-    """Quantize [..., K, N] weights to e4m3 with per-channel scales."""
+    """Quantize [..., K, N] weights to e4m3 with per-channel scales.
+
+    Storage contract: subnormal codes (e==0, m>0 — the 14 smallest nonzero
+    magnitudes, |w| < amax/28672) are flushed to signed zero at encode
+    time. The added error is <= 7*2^-9 of the code grid — below one LSB at
+    the smallest normal binade — and it lets the matmul kernel's hot-path
+    decode (pallas/woq_matmul.py::_decode_fp8_block) stay a 7-op
+    branchless bit-plant with no subnormal select. fp8_encode also never
+    emits the NaN codes (saturates at +-448)."""
     from ..ops.fp8 import FP8_MAX, fp8_encode
     w = jnp.asarray(w).astype(jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=-2)                          # [..., N]
     scale = jnp.maximum(amax, 1e-8) / FP8_MAX
     q = fp8_encode(w / scale[..., None, :])
+    q = jnp.where((q & 0x7F) < 8, q & 0x80, q)   # flush subnormals to +-0
     return FP8Weight(qweight=q, scale=scale.astype(jnp.float32))
 
 
