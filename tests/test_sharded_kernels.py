@@ -46,6 +46,7 @@ def _make(quant_mode, group_size=0):
     (QuantMode.use_weight_only(False), 0),          # int8 per-channel
     (QuantMode.use_weight_only(True, per_group=True), 32),   # int4 grouped
     (QuantMode.use_smooth_quant(per_token=True, per_channel=True), 0),
+    (QuantMode.FP8_QDQ, 0),                         # fp8 (_sharded_fp8)
 ])
 def test_sharded_kernels_match_single_device(mode, group):
     if jax.device_count() < 4:

@@ -88,6 +88,9 @@ def dense(x, w, out_dtype=None, layer=None, part=None):
             and isinstance(w, WOQWeight) and _PALLAS["woq_matmul_stacked"]):
         return _sharded_woq(x, w, layer, part, mesh, out_dtype or x.dtype)
     if (mesh is not None and part in ("col", "row") and layer is not None
+            and isinstance(w, FP8Weight) and _PALLAS["fp8_matmul_stacked"]):
+        return _sharded_fp8(x, w, layer, part, mesh, out_dtype or x.dtype)
+    if (mesh is not None and part in ("col", "row") and layer is not None
             and isinstance(w, SQWeight) and w.per_token
             and _PALLAS["w8a8_matmul_stacked"]):
         x_q, s_x = quantize_per_token(x)   # global per-token amax (pre-shard)
@@ -224,6 +227,34 @@ def _sharded_woq(x, w: WOQWeight, layer, part, mesh, out_dtype):
     return _shard_map(f, mesh=mesh, in_specs=(x_spec, w_specs, P()),
                       out_specs=o_spec, check_vma=False)(
         x, w, jnp.asarray(layer, jnp.int32))
+
+
+def _sharded_fp8(x, w: FP8Weight, layer, part, mesh, out_dtype):
+    """TP fp8 matmul: same sharding shape as _sharded_woq per-channel
+    (codes [L, K, N], scale [L, N]); row-parallel gets the overlapped
+    chunked psum."""
+    lead = _lead_specs(x, mesh)
+    if part == "col":
+        x_spec, q_spec = P(*lead, None), P(None, None, "tp")
+        s_spec, o_spec = P(None, "tp"), P(*lead, "tp")
+    else:
+        x_spec, q_spec = P(*lead, "tp"), P(None, "tp", None)
+        s_spec, o_spec = P(None, None), P(*lead, None)
+
+    def f(xl, qw, sc, lyr):
+        wl = FP8Weight(qw, sc)
+
+        def mm(n_window=None):
+            return _PALLAS["fp8_matmul_stacked"](xl, wl, lyr,
+                                                 n_window=n_window)
+        if part == "row":
+            return _row_overlap(mm, xl, qw.shape[-1], out_dtype)
+        return mm().astype(out_dtype)
+
+    return _shard_map(f, mesh=mesh,
+                      in_specs=(x_spec, q_spec, s_spec, P()),
+                      out_specs=o_spec, check_vma=False)(
+        x, w.qweight, w.scale, jnp.asarray(layer, jnp.int32))
 
 
 def _sharded_sq(x_q, s_x, w: SQWeight, layer, part, mesh, out_dtype):
