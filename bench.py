@@ -426,7 +426,7 @@ def _watchdogs(config_name: str):
     if not found:
         _die(f"device discovery exceeded {probe_s:.0f}s (tunnel down?)")
 
-    deadline_s = float(os.environ.get("BENCH_DEADLINE", "1500"))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE", "2400"))  # one observed false kill at 1500s: cold compiles right after 40 min of chip churn ran long; the driver's own timeout still governs
     if deadline_s > 0:
         timer = threading.Timer(deadline_s,
                                 _die, (f"bench exceeded {deadline_s:.0f}s",))
