@@ -259,6 +259,8 @@ def serving_bench(config_name: str):
                   + (", paged" if paged else "")
                   + (", packed" if packed else "")
                   + (f", chunked{pchunk}" if pchunk else "")
+                  + (f", dchunk{eng.decode_chunk}"
+                     if eng.decode_chunk != 16 else "")
                   + (", mixed" if mixed else "")
                   + (f", spec-{spec_draft}" if spec_draft else "")
                   + (", int8kv" if spec_draft and spec_kv else "") + ")",

@@ -81,8 +81,27 @@ def _opt():
     return model, cfg, params_from_hf_opt(model, cfg), decoder.OPT
 
 
+def _falcon():
+    import torch
+    from transformers import FalconConfig, FalconForCausalLM
+    from trtllm_llama_tpu.convert.hf_families import (
+        config_from_hf_falcon, params_from_hf_falcon,
+    )
+
+    torch.manual_seed(4)
+    hf_cfg = FalconConfig(vocab_size=256, hidden_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          multi_query=True, parallel_attn=True, bias=False,
+                          new_decoder_architecture=False, alibi=False,
+                          max_position_embeddings=128)
+    model = FalconForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf_falcon(hf_cfg, dtype="float32")
+    assert cfg.num_kv_heads == 1          # MQA through the GQA attention ops
+    return model, cfg, params_from_hf_falcon(model, cfg), decoder.FALCON
+
+
 _BUILDERS = {"gptj": _gptj, "gptneox": _gptneox, "bloom": _bloom,
-             "opt": _opt}
+             "opt": _opt, "falcon": _falcon}
 _CACHE = {}
 
 

@@ -248,3 +248,76 @@ def params_from_hf_opt(hf_model, cfg: ModelConfig, dtype=None):
             _n(sd["model.decoder.final_layer_norm.bias"]), dtype),
         "lm_head": jnp.asarray(embed.T, dtype),
     }
+
+
+# --------------------------------------------------------------- Falcon --
+def config_from_hf_falcon(hf_cfg, **over) -> ModelConfig:
+    """Falcon-7B-style config (beyond the reference, which predates Falcon).
+
+    Supported wiring: rotary + parallel_attn + single input LayerNorm +
+    bias-free projections, with MQA (multi_query=True -> num_kv_heads=1) or
+    MHA. The 40B `new_decoder_architecture` (grouped KV + two LNs per
+    block) and the alibi/bias RW variants raise."""
+    if getattr(hf_cfg, "new_decoder_architecture", False):
+        raise NotImplementedError(
+            "Falcon new_decoder_architecture (40B wiring: grouped KV + two "
+            "LNs per block) is not mapped; 7B wiring only")
+    if getattr(hf_cfg, "alibi", False) or getattr(hf_cfg, "bias", False):
+        raise NotImplementedError(
+            "Falcon RW variants (alibi=True / bias=True) are not mapped")
+    if not getattr(hf_cfg, "parallel_attn", True):
+        raise NotImplementedError("Falcon with parallel_attn=False is the "
+                                  "sequential-residual (Bloom/OPT) wiring")
+    hd = hf_cfg.hidden_size // hf_cfg.num_attention_heads
+    d = dict(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        intermediate_size=getattr(hf_cfg, "ffn_hidden_size",
+                                  4 * hf_cfg.hidden_size),
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=1 if hf_cfg.multi_query else hf_cfg.num_attention_heads,
+        head_dim=hd,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        rotary_dim=hd,                       # full-dim neox rotary
+        rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+        rms_norm_eps=hf_cfg.layer_norm_epsilon,
+        architecture="falcon",
+    )
+    d.update(over)
+    return ModelConfig(**d)
+
+
+def params_from_hf_falcon(hf_model, cfg: ModelConfig, dtype=None):
+    dtype = dtype or cfg.jnp_dtype
+    sd = hf_model.state_dict()
+    l, nq, hd = cfg.num_layers, cfg.num_heads, cfg.head_dim
+    h = "transformer.h.{}."
+    w_qkv = _stack(sd, h + "self_attention.query_key_value.weight", l)
+    if cfg.num_kv_heads == 1:
+        # MQA fused layout: nq query heads, then ONE k head, then ONE v head
+        # (FalconAttention._split_heads, multi_query branch)
+        wq = np.transpose(w_qkv[:, :nq * hd], (0, 2, 1))
+        wk = np.transpose(w_qkv[:, nq * hd:(nq + 1) * hd], (0, 2, 1))
+        wv = np.transpose(w_qkv[:, (nq + 1) * hd:], (0, 2, 1))
+    else:
+        # MHA fused layout is [head, 3, head_dim]-interleaved like GPT-NeoX
+        (wq, wk, wv), _ = _split_fused_qkv(
+            w_qkv, np.zeros(w_qkv.shape[:2], w_qkv.dtype), nq, hd)
+    layers = {
+        "ln1_w": _stack(sd, h + "input_layernorm.weight", l),
+        "ln1_b": _stack(sd, h + "input_layernorm.bias", l),
+        "wq": wq, "wk": wk, "wv": wv,
+        "wo": _stack(sd, h + "self_attention.dense.weight", l, _t),
+        "w_fc": _stack(sd, h + "mlp.dense_h_to_4h.weight", l, _t),
+        "b_fc": np.zeros((l, cfg.intermediate_size), np.float32),
+        "w_proj": _stack(sd, h + "mlp.dense_4h_to_h.weight", l, _t),
+        "b_proj": np.zeros((l, cfg.hidden_size), np.float32),
+    }
+    return {
+        "embed": jnp.asarray(_n(sd["transformer.word_embeddings.weight"]),
+                             dtype),
+        "layers": _as(layers, dtype),
+        "final_ln_w": jnp.asarray(_n(sd["transformer.ln_f.weight"]), dtype),
+        "final_ln_b": jnp.asarray(_n(sd["transformer.ln_f.bias"]), dtype),
+        "lm_head": jnp.asarray(_t(sd["lm_head.weight"]), dtype),
+    }

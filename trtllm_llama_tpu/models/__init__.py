@@ -34,4 +34,7 @@ def by_architecture(name: str):
     if name == "chatglm":
         from . import chatglm
         return chatglm
+    if name == "falcon":
+        from .decoder import FALCON
+        return FALCON
     raise ValueError(f"unknown architecture {name!r}")

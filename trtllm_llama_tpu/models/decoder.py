@@ -73,6 +73,15 @@ GPTNEOX_SPEC = ArchSpec("gptneox", rope="neox", parallel_residual=True,
                         act="gelu")
 BLOOM_SPEC = ArchSpec("bloom", alibi=True, embed_ln=True)
 OPT_SPEC = ArchSpec("opt", learned_pos=True, pos_offset=2, act="relu")
+# Falcon-7B wiring (beyond the reference, which predates Falcon): full-dim
+# neox rotary, ONE LayerNorm feeding both attention and MLP (parallel
+# residual like GPT-J), exact GELU, no biases anywhere, and multi-query
+# attention — MQA is just cfg.num_kv_heads=1 through the shared GQA
+# attention ops. Validated against HF FalconForCausalLM goldens
+# (tests/test_families.py).
+FALCON_SPEC = ArchSpec("falcon", rope="neox", parallel_residual=True,
+                       shared_ln=True, act="gelu", qkv_bias=False,
+                       attn_out_bias=False)
 
 
 def _act(spec: ArchSpec, x):
@@ -319,6 +328,7 @@ GPTJ = DecoderFamily(GPTJ_SPEC)
 GPTNEOX = DecoderFamily(GPTNEOX_SPEC)
 BLOOM = DecoderFamily(BLOOM_SPEC)
 OPT = DecoderFamily(OPT_SPEC)
+FALCON = DecoderFamily(FALCON_SPEC)
 
 FAMILIES = {s.name: f for s, f in [(GPTJ_SPEC, GPTJ), (GPTNEOX_SPEC, GPTNEOX),
                                    (BLOOM_SPEC, BLOOM), (OPT_SPEC, OPT)]}
