@@ -320,6 +320,21 @@ class ServingEngine:
                                                                 tiled=True))
         return np.asarray(a)
 
+    def _read_many(self, *arrays):
+        """Batched device -> host readback: ONE round trip for all arrays.
+
+        Through the axon tunnel every synchronous readback costs ~27 ms
+        regardless of size (measured: 4 sequential np.asarray = 111.7 ms,
+        jax.device_get of the 4-tuple = 26.8 ms). Serving steps read
+        several small arrays per step, so sequential reads would tax every
+        step by a multiple of the tunnel latency. None entries pass
+        through. Multi-host falls back to per-array _read (allgather is
+        its own collective round)."""
+        if self._repl is not None:
+            return tuple(None if a is None else self._read(a)
+                         for a in arrays)
+        return jax.device_get(arrays)
+
     # ------------------------------------------------------------------
     def _prefill_fn(self, bucket: int, nb: int):
         return jax.jit(self._prefill_body(bucket, nb), donate_argnums=(1,))
@@ -476,12 +491,11 @@ class ServingEngine:
             self._dev(seg_ids), self._dev(slot_tok),
             self._dev(pos_tok), self._dev(last_idx), self._dev(slots),
             self._next_key(), slot_params)
-        tokens = self._read(tokens)
+        tokens, lps = self._read_many(tokens, lps)
         if self.per_request and counts is not None:
             self.slot_counts = self.slot_counts.at[self._dev(slots)].set(
                 counts)
-        finished.extend(self._register_prefilled(reqs, tokens,
-                                                 self._read(lps)))
+        finished.extend(self._register_prefilled(reqs, tokens, lps))
         return finished
 
     def _chunk_prefill_fn(self, nb: int):
@@ -554,8 +568,7 @@ class ServingEngine:
                 self._dev(starts), self._dev(slots), self._next_key(),
                 slot_params,
                 self._dev(counts) if self.per_request else 0)
-            tokens = self._read(tokens)
-            lps = self._read(lps)
+            tokens, lps = self._read_many(tokens, lps)
             done_rows = [(i, req) for i, req, is_last, _ in rows if is_last]
             if done_rows:
                 reqs = [r for _, r in done_rows]
@@ -740,10 +753,10 @@ class ServingEngine:
             self.slot_counts = counts
         if self.max_bad_words:
             self.slot_tail = tail
-        finished = self._register_prefilled(
-            reqs, self._read(ptoks), self._read(plps), device_updated=True)
-        out = self._read(out)
-        out_lp = self._read(out_lp) if self.return_logprobs else None
+        ptoks, plps, out, out_lp = self._read_many(
+            ptoks, plps, out, out_lp if self.return_logprobs else None)
+        finished = self._register_prefilled(reqs, ptoks, plps,
+                                            device_updated=True)
         # decode bookkeeping over whoever is still in flight
         decoding = [r for r in self.scheduler.active_requests()
                     if r.request_id not in self._partial]
@@ -1024,12 +1037,11 @@ class ServingEngine:
                 self.params, self.caches, self._dev(ids),
                 self._dev(lengths), self._dev(slots), self._next_key(),
                 slot_params)
-        tokens = self._read(tokens)
+        tokens, lps = self._read_many(tokens, lps)
         if self.per_request and counts is not None:
             self.slot_counts = self.slot_counts.at[self._dev(slots)].set(
                 counts)
-        finished.extend(self._register_prefilled(reqs, tokens,
-                                                 self._read(lps)))
+        finished.extend(self._register_prefilled(reqs, tokens, lps))
         if rest:
             finished.extend(self._admit_group(rest, bucket))
         return finished
@@ -1136,8 +1148,8 @@ class ServingEngine:
             self.slot_counts = counts
         if self.max_bad_words:
             self.slot_tail = tail
-        out = self._read(out)
-        out_lp = self._read(out_lp) if self.return_logprobs else None
+        out, out_lp = self._read_many(
+            out, out_lp if self.return_logprobs else None)
 
         for slot, req in slot_of.items():
             for j, t in enumerate(out[slot]):

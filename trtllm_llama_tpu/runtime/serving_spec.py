@@ -181,7 +181,7 @@ class SpeculativeServingEngine(ServingEngine):
             jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(slots),
             self._next_key(),
             self.slot_params if self.per_request else 0)
-        tokens = np.asarray(tokens)
+        tokens, lps = self._read_many(tokens, lps)
         sl = jnp.asarray(slots)
         # draft has processed [0, len); its next position is len.
         self.slot_draft_pos = self.slot_draft_pos.at[sl].set(
@@ -189,8 +189,7 @@ class SpeculativeServingEngine(ServingEngine):
         tail = jnp.full((nb, self.gamma + 2), self.scfg.pad_id, jnp.int32)
         tail = tail.at[:, -1].set(jnp.asarray(tokens[:nb].astype(np.int32)))
         self.slot_spec_tail = self.slot_spec_tail.at[sl].set(tail)
-        finished.extend(self._register_prefilled(reqs, tokens,
-                                                 np.asarray(lps)))
+        finished.extend(self._register_prefilled(reqs, tokens, lps))
         if rest:
             finished.extend(self._admit_group(rest, bucket))
         return finished
@@ -376,9 +375,8 @@ class SpeculativeServingEngine(ServingEngine):
             self.slot_budget, self.slot_draft_pos, self._next_key(),
             self.slot_params if self.per_request else 0)
         self.slot_tokens = self.slot_spec_tail[:, -1]
-        out = np.asarray(out)
-        out_lp = np.asarray(out_lp) if self.return_logprobs else None
-        k_tot = np.asarray(k_tot)
+        out, out_lp, k_tot = self._read_many(
+            out, out_lp if self.return_logprobs else None, k_tot)
 
         for slot, req in slot_of.items():
             for j in range(int(k_tot[slot])):

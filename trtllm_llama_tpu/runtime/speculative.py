@@ -322,7 +322,8 @@ class SpeculativeSession:
         out, lengths = res[0], res[1]
         if len(res) > 2:     # diagnostic: device-loop iteration count
             self.last_iters = int(res[2])
-        return GenerationOutput(np.asarray(out), np.asarray(lengths))
+        out, lengths = jax.device_get((out, lengths))  # one d2h trip
+        return GenerationOutput(out, lengths)
 
 
 class PromptLookupSession(SpeculativeSession):
