@@ -190,6 +190,7 @@ def serving_bench(config_name: str):
     packed = bool(int(os.environ.get("BENCH_PACKED", "0")))
     pchunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "0")) or None
     mixed = bool(int(os.environ.get("BENCH_MIXED", "0")))
+    pipelined = bool(int(os.environ.get("BENCH_PIPELINED", "0")))
     spec_draft = os.environ.get("BENCH_SPEC_DRAFT")   # self | random
     if spec_draft:
         # the spec engine is dense/non-packed/non-chunked: drop the flags
@@ -224,7 +225,8 @@ def serving_bench(config_name: str):
             block_size=int(os.environ.get("BENCH_BLOCK", "64")),
             packed_prefill=packed,
             prefill_chunk=pchunk,
-            mixed_step=mixed)
+            mixed_step=mixed,
+            pipelined=pipelined)
     # the engine fused q/k/v (+gate/up) into NEW stacked arrays that share
     # the remaining leaves; dropping the bench's reference to the originals
     # frees the ~4.5 GB of superseded unfused projections (without this the
@@ -262,6 +264,7 @@ def serving_bench(config_name: str):
                   + (f", dchunk{eng.decode_chunk}"
                      if eng.decode_chunk != 16 else "")
                   + (", mixed" if mixed else "")
+                  + (", pipelined" if pipelined else "")
                   + (f", spec-{spec_draft}" if spec_draft else "")
                   + (", int8kv" if spec_draft and spec_kv else "") + ")",
         "value": round(total_tokens / dt, 2),

@@ -571,3 +571,74 @@ def test_serving_still_rejects_dp_pp(tiny_setup):
         mesh = mp.make_mesh(np.array(jax.devices()[:4]))
         with pytest.raises(ValueError, match="slot pool"):
             ServingEngine(cfg, params, ecfg, mapping=mp, mesh=mesh)
+
+
+def test_pipelined_matches_normal(tiny_setup):
+    """pipelined=True dispatches chunk N before reading chunk N-1 (the
+    readback overlaps compute); per-request outputs, reasons, and logprobs
+    must be exactly the normal engine's for staggered arrivals, mid-flight
+    EOS, and slot churn (more requests than slots)."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(33)
+    prompts = [rng.integers(3, 250, (n,)).tolist()
+               for n in (5, 9, 3, 7, 11, 4)]
+    budgets = [6, 4, 8, 5, 3, 7]
+
+    def run(pipelined):
+        eng = ServingEngine(cfg, params, ecfg, sampling=scfg,
+                            decode_chunk=3, pipelined=pipelined,
+                            return_logprobs=True)
+        rids = [eng.submit(p, b) for p, b in zip(prompts[:3], budgets[:3])]
+        done = {}
+        for fr in eng.step():
+            done[fr.request_id] = fr
+        rids += [eng.submit(p, b) for p, b in zip(prompts[3:], budgets[3:])]
+        done.update(eng.run_to_completion())
+        return [done[r] for r in rids]
+
+    ref = run(False)
+    got = run(True)
+    for a, b in zip(got, ref):
+        assert a.output_ids == b.output_ids, (a, b)
+        assert a.finished_reason == b.finished_reason
+        np.testing.assert_allclose(a.logprobs, b.logprobs, atol=1e-5)
+
+
+def test_pipelined_eos_and_stop_words(tiny_setup):
+    """EOS freeze (in-graph) and stop_words (host-side release while a
+    chunk is in flight) under pipelining: outputs identical to normal."""
+    cfg, params, ecfg = tiny_setup
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 250, (6,)).tolist(),
+               rng.integers(3, 250, (8,)).tolist()]
+
+    # discover a token the first request emits, to use as EOS + stop word
+    probe = ServingEngine(cfg, params, ecfg,
+                          sampling=SamplingConfig(end_id=-1), decode_chunk=3)
+    pid = probe.submit(prompts[0], 6)
+    toks = probe.run_to_completion()[pid].output_ids
+    eos, stop = toks[2], toks[4]
+
+    def run(pipelined):
+        eng = ServingEngine(cfg, params, ecfg,
+                            sampling=SamplingConfig(end_id=eos),
+                            decode_chunk=3, pipelined=pipelined,
+                            per_request_sampling=True)
+        r0 = eng.submit(prompts[0], 6)
+        # stop_words finish host-side while a pipelined chunk is in flight:
+        # the released slot's stale rows must be discarded
+        r1 = eng.submit(prompts[1], 6, sampling=SamplingConfig(
+            end_id=eos, stop_words=[[stop]]))
+        done = eng.run_to_completion()
+        return [(done[r].output_ids, done[r].finished_reason)
+                for r in (r0, r1)]
+
+    assert run(True) == run(False)
+
+
+def test_pipelined_rejects_paged_and_mixed(tiny_setup):
+    cfg, params, ecfg = tiny_setup
+    for kw in (dict(paged=True), dict(mixed_step=True)):
+        with pytest.raises(ValueError, match="pipelined"):
+            ServingEngine(cfg, params, ecfg, pipelined=True, **kw)

@@ -89,6 +89,7 @@ class ServingEngine:
                  max_bad_words: int = 0,
                  max_bad_word_len: int = 4,
                  mixed_step: bool = False,
+                 pipelined: bool = False,
                  mapping=None, mesh=None):
         if not os.environ.get("TLLM_NO_COMPILE_CACHE"):
             from ..utils.compile_cache import enable_compile_cache
@@ -131,6 +132,9 @@ class ServingEngine:
         self.multihost = jax.process_count() > 1
         self._stopped = False
         self._pending_ops: List[tuple] = []
+        # pipelined decode (see step()): the previous chunk's un-read
+        # device outputs; its readback overlaps the next chunk's compute
+        self._pending_chunk = None
         if self.multihost:
             if mesh is None or mesh.devices.size != jax.device_count():
                 raise ValueError(
@@ -204,6 +208,16 @@ class ServingEngine:
         if mixed_step and not self.mixed:
             raise ValueError("mixed_step needs the dense non-packed, "
                              "non-chunked-prefill configuration")
+        # pipelined decode: dispatch chunk N before reading chunk N-1, so
+        # the ~27 ms tunnel readback + host bookkeeping + admission
+        # prefills all overlap chunk N's compute (see step()). Dense cache
+        # only (paged pre-allocates blocks from a host table sync);
+        # mutually exclusive with mixed_step (which fuses the phases
+        # instead) and multi-host (lockstep op sync per step).
+        self.pipelined = bool(pipelined)
+        if self.pipelined and (paged or mixed_step or self.multihost):
+            raise ValueError("pipelined serving needs the dense,"
+                             " non-mixed, single-host configuration")
         self._partial: Dict[int, int] = {}    # request_id -> next chunk start
         # per-request model logprobs of emitted tokens (engine-side so the
         # host scheduler - and its C++ twin - stay token-only)
@@ -1048,7 +1062,11 @@ class ServingEngine:
 
     def step(self) -> List[FinishedRequest]:
         """One engine step: admit+prefill new requests (batched per bucket),
-        then decode up to decode_chunk tokens for all active slots."""
+        then decode up to decode_chunk tokens for all active slots.
+        pipelined=True reorders the phases so readbacks overlap compute
+        (_step_pipelined); finishes then surface one step later."""
+        if self.pipelined:
+            return self._step_pipelined()
         from ..ops.registry import KERNELS
         KERNELS["mesh"] = self.mesh   # sharded paths under a mesh; None =
         # single-device (bare Pallas kernels allowed)
@@ -1108,22 +1126,77 @@ class ServingEngine:
         finished.extend(self._decode_phase())
         return finished
 
+    def _step_pipelined(self) -> List[FinishedRequest]:
+        """One pipelined engine step: dispatch chunk N FIRST, then read and
+        process chunk N-1 and run admissions — the ~27 ms tunnel readback,
+        host bookkeeping, and admission prefill dispatch+read all overlap
+        chunk N's device compute (the device stream serializes chunk N
+        before the prefills, so a slot freed by chunk N-1's bookkeeping is
+        safely overwritten only after chunk N retires; its stale rows are
+        skipped by _decode_process's liveness guard). Requests admitted
+        this step join the NEXT chunk — one chunk of extra latency per
+        request, bought back many times over in step wall time."""
+        from ..ops.registry import KERNELS
+        KERNELS["mesh"] = self.mesh
+        finished: List[FinishedRequest] = []
+
+        dispatched = self._decode_dispatch()
+        if self._pending_chunk is not None:
+            finished.extend(self._decode_process(self._pending_chunk))
+        self._pending_chunk = dispatched
+
+        admitted = self.scheduler.admit()
+        if self.prefill_chunk is not None:
+            long = [r for r in admitted
+                    if len(r.input_ids) > self.prefill_chunk]
+            admitted = [r for r in admitted
+                        if len(r.input_ids) <= self.prefill_chunk]
+            for req in long:
+                self._partial[req.request_id] = 0
+                if self.per_request:
+                    scfg_i = self._req_sampling.get(req.request_id, self.scfg)
+                    self.slot_params = self.slot_params.set_slot(
+                        req.slot, scfg_i)
+        if self.packed:
+            if admitted:
+                finished.extend(self._admit_packed(admitted))
+        else:
+            by_bucket: Dict[int, List[Request]] = {}
+            for req in admitted:
+                b = self.engine_cfg.bucket_for(len(req.input_ids))
+                by_bucket.setdefault(b, []).append(req)
+            for bucket, group in sorted(by_bucket.items()):
+                finished.extend(self._admit_group(group, bucket))
+        if self._partial:
+            finished.extend(self._advance_partials())
+        return finished
+
     def _decode_phase(self) -> List[FinishedRequest]:
         """Advance all decoding slots by one device chunk and record the
         tokens (override point: SpeculativeServingEngine replaces this with
         draft/verify iterations)."""
-        finished: List[FinishedRequest] = []
+        pending = self._decode_dispatch()
+        if pending is None:
+            return []
+        return self._decode_process(pending)
+
+    def _decode_dispatch(self):
+        """Dispatch one decode chunk; return (slot_of, out, out_lp) device
+        handles WITHOUT reading them back (the pipelined step overlaps the
+        readback with the next chunk's compute), or None when there is
+        nothing to decode."""
         # chunk = enough steps for the request with the LARGEST remaining
         # budget (each slot self-freezes at its own budget on device).
         # Partially-prefilled requests are active in the scheduler but have
         # no decode state yet — they neither drive the chunk size nor get
-        # tokens recorded.
+        # tokens recorded. Under pipelining the host budgets lag one chunk
+        # (optimistic chunk size); the device budget masks stay exact.
         decoding = [r for r in self.scheduler.active_requests()
                     if r.request_id not in self._partial]
         budgets = [r.max_new_tokens - len(r.output_ids) for r in decoding]
         chunk = min(self.decode_chunk, max(budgets)) if budgets else 0
         if chunk <= 0:
-            return finished
+            return None
         slot_of = {r.slot: r for r in decoding}
         if self.paged:
             # pre-allocate blocks for this chunk's writes, then refresh the
@@ -1148,10 +1221,21 @@ class ServingEngine:
             self.slot_counts = counts
         if self.max_bad_words:
             self.slot_tail = tail
+        return (slot_of, out, out_lp)
+
+    def _decode_process(self, pending) -> List[FinishedRequest]:
+        """Read back one dispatched chunk and record its tokens."""
+        slot_of, out, out_lp = pending
+        finished: List[FinishedRequest] = []
         out, out_lp = self._read_many(
             out, out_lp if self.return_logprobs else None)
-
+        # under pipelining a snapshot request may have finished while this
+        # chunk was in flight (EOS/budget froze it on device; stop-words
+        # released it host-side) — its rows are stale, skip them
+        live = {r.request_id for r in self.scheduler.active_requests()}
         for slot, req in slot_of.items():
+            if req.request_id not in live:
+                continue
             for j, t in enumerate(out[slot]):
                 if self.return_logprobs:
                     # pad steps (slot froze) never reach record_token
@@ -1175,7 +1259,8 @@ class ServingEngine:
         """Drive until the queue drains (batch-mode convenience)."""
         done: Dict[int, FinishedRequest] = {}
         steps = 0
-        while self.scheduler.has_work and steps < max_steps:
+        while ((self.scheduler.has_work or self._pending_chunk is not None)
+               and steps < max_steps):
             for fr in self.step():
                 done[fr.request_id] = fr
             steps += 1
