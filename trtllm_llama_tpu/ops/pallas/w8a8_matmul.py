@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .woq_matmul import _n_outer
+
 
 def _pick_tile(dim, candidates):
     for c in candidates:
@@ -69,21 +71,27 @@ def w8a8_matmul_2d(x_q, w_q, s_x, s_w, interpret=False):
     m_p = m + pad_m
     bm, bn, ck = _tiles(m_p, k, n)
     s_w2 = jnp.broadcast_to(s_w.reshape(1, -1), (1, n))
+    # grid-order choice (woq_matmul._n_outer): inner-axis operand re-streams
+    # per outer step; int8 activations -> x_bytes=1
+    n_m, n_n = m_p // bm, n // bn
+    swap = _n_outer(n_m, n_n, m_p, k, n, 1, x_bytes=1)
+    mi = (lambda a, b: b) if swap else (lambda a, b: a)
+    ni = (lambda a, b: a) if swap else (lambda a, b: b)
 
     out = pl.pallas_call(
         functools.partial(_kernel, ck=ck, n_chunks=k // ck, lead=False),
-        grid=(m_p // bm, n // bn),
+        grid=(n_n, n_m) if swap else (n_m, n_n),
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, k), lambda a, b: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 128), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, 128), lambda a, b: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+            pl.BlockSpec((k, bn), lambda a, b: (0, ni(a, b)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn), lambda a, b: (0, ni(a, b)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda a, b: (mi(a, b), ni(a, b)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -130,20 +138,29 @@ def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False,
     def _sel(s):
         return s[0] if getattr(s, "ndim", 0) else s
 
+    # grid-order choice (woq_matmul._n_outer); int8 activations -> x_bytes=1
+    n_m, n_n = m_p // bm, n // bn
+    swap = _n_outer(n_m, n_n, m_p, k, n, 1, x_bytes=1)
+    mi = (lambda a, b: b) if swap else (lambda a, b: a)
+    ni = (lambda a, b: a) if swap else (lambda a, b: b)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(m_p // bm, n // bn),
+        grid=(n_n, n_m) if swap else (n_m, n_n),
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j, s: (i, 0),
+            pl.BlockSpec((bm, k), lambda a, b, s: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 128), lambda i, j, s: (i, 0),
+            pl.BlockSpec((bm, 128), lambda a, b, s: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, bn), lambda i, j, s: (_sel(s), 0, j + off),
+            pl.BlockSpec((1, k, bn),
+                         lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda i, j, s: (_sel(s), 0, j + off),
+            pl.BlockSpec((1, 1, bn),
+                         lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
+        out_specs=pl.BlockSpec((bm, bn),
+                               lambda a, b, s: (mi(a, b), ni(a, b)),
                                memory_space=pltpu.VMEM),
     )
 

@@ -35,18 +35,38 @@ def _pick_tile(dim: int, candidates) -> int:
     return dim
 
 
-def _unpack_block(packed_block):
-    """[pb//2, bn] planar-packed *biased* int4 block -> [pb, bn] int8 in
-    [0, 15] (caller subtracts the bias post-dot).
+def _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el, x_bytes=2) -> bool:
+    """Grid-order heuristic. The TPU grid is sequential and the Pallas
+    pipeline only skips an operand re-fetch when its block index is
+    unchanged between consecutive steps, so whichever operand is indexed by
+    the INNER axis is re-streamed from HBM once per outer step:
+
+      m-outer (i, j): weight traffic = n_m * K*N*wB   (x fetched once/tile)
+      n-outer (j, i): x traffic      = n_n * M*K*2    (w fetched once/tile)
+
+    Decode (n_m == 1) always prefers m-outer; large-m prefill against a
+    wide fused projection prefers n-outer (e.g. m=4096, int8 QKV 4096x12288:
+    800 MB of weight re-reads vs 402 MB of x re-reads)."""
+    return n_m * k * n * w_bytes_per_el > n_n * m_p * k * x_bytes
+
+
+def _unpack_block_planes(packed_block):
+    """[pb//2, bn] planar-packed *biased* int4 block -> (lo, hi) int8 planes
+    in [0, 15], each [pb//2, bn] (caller subtracts the bias post-dot).
 
     SWAR on uint32-bitcast lanes: each mask/shift op processes 4 bytes at
     once and per-byte positions survive the bitcast round-trip — ~4x fewer
     VPU ops than per-element int32 math. Biased storage keeps the nibbles
-    unsigned (SWAR cannot sign-extend without cross-byte borrows)."""
+    unsigned (SWAR cannot sign-extend without cross-byte borrows). The
+    planes are returned SEPARATE: the planar pack layout means lo holds
+    logical K-rows [0, pb/2) and hi holds [pb/2, pb) of the block, so the
+    caller dots each plane against the matching x column half instead of
+    materializing the [pb, bn] concat — the sublane-dim concat was a full
+    extra copy of the weight tile per chunk."""
     w32 = pltpu.bitcast(packed_block, jnp.uint32)
     lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
     hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
-    return jnp.concatenate([lo, hi], axis=0)
+    return lo, hi
 
 
 def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
@@ -68,10 +88,15 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
     pb = pack_block
     acc = None
     for i in range(k // pb):
-        u = _unpack_block(W(i * pb // 2, (i + 1) * pb // 2))  # biased [0,15]
-        w_c = u.astype(compute_dtype)
+        lo, hi = _unpack_block_planes(W(i * pb // 2, (i + 1) * pb // 2))
         x_c = x_ref[:, i * pb:(i + 1) * pb].astype(compute_dtype)
-        part = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        # planar layout: lo plane = K-rows [0, pb/2), hi = [pb/2, pb) — two
+        # half-K dots replace the concat'd full-block dot (MXU is idle at
+        # decode m; the concat was pure VPU copy traffic)
+        part = (jnp.dot(x_c[:, :pb // 2], lo.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(x_c[:, pb // 2:], hi.astype(compute_dtype),
+                          preferred_element_type=jnp.float32))
         # fold the +8 storage bias out: dot(x, u-8) = dot(x, u) - 8*rowsum(x)
         part = part - INT4_BIAS * jnp.sum(
             x_c.astype(jnp.float32), axis=1, keepdims=True)
@@ -184,12 +209,19 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
     n_m, n_n, n_chunks = m_p // bm, n // bn, k // ck
     pack_div = 2 if w.w_bits == 4 else 1
 
+    # grid-order choice: the inner-axis operand is re-streamed per outer
+    # step (see _n_outer); map grid ids (a, b) -> (m_tile, n_tile)
+    swap = _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el)
+    mi = (lambda a, b: b) if swap else (lambda a, b: a)   # m-tile id
+    ni = (lambda a, b: a) if swap else (lambda a, b: b)   # n-tile id
+    grid = (n_n, n_m) if swap else (n_m, n_n)
+
     if gs:
-        s_spec = pl.BlockSpec((k // gs, bn), lambda i, j: (0, j),
+        s_spec = pl.BlockSpec((k // gs, bn), lambda a, b: (0, ni(a, b)),
                               memory_space=pltpu.VMEM)
         scale = w.scale
     else:
-        s_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j),
+        s_spec = pl.BlockSpec((1, bn), lambda a, b: (0, ni(a, b)),
                               memory_space=pltpu.VMEM)
         scale = w.scale.reshape(1, n)
 
@@ -205,15 +237,15 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_m, n_n),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, k), lambda a, b: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // pack_div, bn), lambda i, j: (0, j),
+            pl.BlockSpec((k // pack_div, bn), lambda a, b: (0, ni(a, b)),
                          memory_space=pltpu.VMEM),
             s_spec,
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda a, b: (mi(a, b), ni(a, b)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -314,15 +346,20 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
 
     assert n_start % bn == 0, (n_start, bn)
     off = n_start // bn           # static column-tile offset into the weight
+    # grid-order choice (see _n_outer): grid ids (a, b) -> (m_tile, n_tile)
+    swap = _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el)
+    mi = (lambda a, b: b) if swap else (lambda a, b: a)
+    ni = (lambda a, b: a) if swap else (lambda a, b: b)
+    grid = (n_n, n_m) if swap else (n_m, n_n)
     if gs:
         scale = w.scale                                 # [L, K//gs, N]
         s_spec = pl.BlockSpec((1, k // gs, bn),
-                              lambda i, j, s: (_sel(s), 0, j + off),
+                              lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
                               memory_space=pltpu.VMEM)
     else:
         scale = w.scale.reshape(l, 1, n_full)           # [L, 1, N]
         s_spec = pl.BlockSpec((1, 1, bn),
-                              lambda i, j, s: (_sel(s), 0, j + off),
+                              lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
                               memory_space=pltpu.VMEM)
 
     assert not (fp8 and gs), "fp8 weights are per-channel scaled"
@@ -333,16 +370,17 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_m, n_n),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j, s: (i, 0),
+            pl.BlockSpec((bm, k), lambda a, b, s: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k // pack_div, bn),
-                         lambda i, j, s: (_sel(s), 0, j + off),
+                         lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
                          memory_space=pltpu.VMEM),
             s_spec,
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
+        out_specs=pl.BlockSpec((bm, bn),
+                               lambda a, b, s: (mi(a, b), ni(a, b)),
                                memory_space=pltpu.VMEM),
     )
 
