@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .woq_matmul import _n_outer
+from .woq_matmul import _grid_order
 
 
 def _pick_tile(dim, candidates):
@@ -74,13 +74,11 @@ def w8a8_matmul_2d(x_q, w_q, s_x, s_w, interpret=False):
     # grid-order choice (woq_matmul._n_outer): inner-axis operand re-streams
     # per outer step; int8 activations -> x_bytes=1
     n_m, n_n = m_p // bm, n // bn
-    swap = _n_outer(n_m, n_n, m_p, k, n, 1, x_bytes=1)
-    mi = (lambda a, b: b) if swap else (lambda a, b: a)
-    ni = (lambda a, b: a) if swap else (lambda a, b: b)
+    grid, mi, ni = _grid_order(n_m, n_n, m_p, k, n, 1, x_bytes=1)
 
     out = pl.pallas_call(
         functools.partial(_kernel, ck=ck, n_chunks=k // ck, lead=False),
-        grid=(n_n, n_m) if swap else (n_m, n_n),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((bm, k), lambda a, b: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),
@@ -140,13 +138,11 @@ def w8a8_matmul_stacked_2d(x_q, w_q, s_x, s_w, layer, interpret=False,
 
     # grid-order choice (woq_matmul._n_outer); int8 activations -> x_bytes=1
     n_m, n_n = m_p // bm, n // bn
-    swap = _n_outer(n_m, n_n, m_p, k, n, 1, x_bytes=1)
-    mi = (lambda a, b: b) if swap else (lambda a, b: a)
-    ni = (lambda a, b: a) if swap else (lambda a, b: b)
+    grid, mi, ni = _grid_order(n_m, n_n, m_p, k, n, 1, x_bytes=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_n, n_m) if swap else (n_m, n_n),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((bm, k), lambda a, b, s: (mi(a, b), 0),
                          memory_space=pltpu.VMEM),

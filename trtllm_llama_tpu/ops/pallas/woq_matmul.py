@@ -36,18 +36,32 @@ def _pick_tile(dim: int, candidates) -> int:
 
 
 def _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el, x_bytes=2) -> bool:
-    """Grid-order heuristic. The TPU grid is sequential and the Pallas
-    pipeline only skips an operand re-fetch when its block index is
-    unchanged between consecutive steps, so whichever operand is indexed by
-    the INNER axis is re-streamed from HBM once per outer step:
+    """Grid-order choice by exact re-fetch traffic. The TPU grid is
+    sequential and the Pallas pipeline only skips an operand re-fetch when
+    its block index is unchanged between consecutive steps, so whichever
+    operand is indexed by the INNER axis is re-streamed from HBM once per
+    outer step (minus the first pass, which both orders pay):
 
-      m-outer (i, j): weight traffic = n_m * K*N*wB   (x fetched once/tile)
-      n-outer (j, i): x traffic      = n_n * M*K*2    (w fetched once/tile)
+      m-outer (i, j): extra weight traffic = (n_m - 1) * K*N*wB
+      n-outer (j, i): extra x traffic      = (n_n - 1) * M*K*xB
 
-    Decode (n_m == 1) always prefers m-outer; large-m prefill against a
-    wide fused projection prefers n-outer (e.g. m=4096, int8 QKV 4096x12288:
-    800 MB of weight re-reads vs 402 MB of x re-reads)."""
-    return n_m * k * n * w_bytes_per_el > n_n * m_p * k * x_bytes
+    Decode (n_m == 1) is order-indifferent (zero extra traffic either way;
+    both orders visit the same block sequence) and resolves to m-outer;
+    large-m prefill against a wide fused projection prefers n-outer (e.g.
+    m=4096, int8 QKV 4096x12288: 15 weight re-reads of 50 MB vs 23 x
+    re-reads of 34 MB)."""
+    return (n_m - 1) * k * n * w_bytes_per_el > (n_n - 1) * m_p * k * x_bytes
+
+
+def _grid_order(n_m, n_n, m_p, k, n, w_bytes_per_el, x_bytes=2):
+    """Pick the grid order via _n_outer and return (grid, mi, ni): the grid
+    tuple plus index maps from grid ids (a, b) to the (m_tile, n_tile) ids —
+    one convention shared by all four matmul-kernel entry points."""
+    swap = _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el, x_bytes=x_bytes)
+    mi = (lambda a, b: b) if swap else (lambda a, b: a)   # m-tile id
+    ni = (lambda a, b: a) if swap else (lambda a, b: b)   # n-tile id
+    grid = (n_n, n_m) if swap else (n_m, n_n)
+    return grid, mi, ni
 
 
 def _unpack_block_planes(packed_block):
@@ -211,10 +225,7 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
 
     # grid-order choice: the inner-axis operand is re-streamed per outer
     # step (see _n_outer); map grid ids (a, b) -> (m_tile, n_tile)
-    swap = _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el)
-    mi = (lambda a, b: b) if swap else (lambda a, b: a)   # m-tile id
-    ni = (lambda a, b: a) if swap else (lambda a, b: b)   # n-tile id
-    grid = (n_n, n_m) if swap else (n_m, n_n)
+    grid, mi, ni = _grid_order(n_m, n_n, m_p, k, n, w_bytes_per_el)
 
     if gs:
         s_spec = pl.BlockSpec((k // gs, bn), lambda a, b: (0, ni(a, b)),
@@ -347,10 +358,7 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
     assert n_start % bn == 0, (n_start, bn)
     off = n_start // bn           # static column-tile offset into the weight
     # grid-order choice (see _n_outer): grid ids (a, b) -> (m_tile, n_tile)
-    swap = _n_outer(n_m, n_n, m_p, k, n, w_bytes_per_el)
-    mi = (lambda a, b: b) if swap else (lambda a, b: a)
-    ni = (lambda a, b: a) if swap else (lambda a, b: b)
-    grid = (n_n, n_m) if swap else (n_m, n_n)
+    grid, mi, ni = _grid_order(n_m, n_n, m_p, k, n, w_bytes_per_el)
     if gs:
         scale = w.scale                                 # [L, K//gs, N]
         s_spec = pl.BlockSpec((1, k // gs, bn),
