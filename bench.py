@@ -191,8 +191,19 @@ def serving_bench(config_name: str):
     pchunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "0")) or None
     mixed = bool(int(os.environ.get("BENCH_MIXED", "0")))
     pipelined = bool(int(os.environ.get("BENCH_PIPELINED", "0")))
-    spec_draft = os.environ.get("BENCH_SPEC_DRAFT")   # self | random
-    if spec_draft:
+    spec_draft = os.environ.get("BENCH_SPEC_DRAFT")  # self | random | lookup
+    if spec_draft == "lookup":
+        # draft-free prompt-lookup: repetitive workload knob below
+        from trtllm_llama_tpu.runtime.serving_spec import (
+            PromptLookupServingEngine,
+        )
+        paged, packed, pchunk = False, False, None
+        eng = PromptLookupServingEngine(
+            cfg, params, ecfg, gamma=int(os.environ.get("BENCH_GAMMA", "4")),
+            ngram=int(os.environ.get("BENCH_NGRAM", "3")),
+            sampling=SamplingConfig(end_id=-1),
+            decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")))
+    elif spec_draft:
         # the spec engine is dense/non-packed/non-chunked: drop the flags
         # so the emitted metric label matches the configuration that ran
         paged, packed, pchunk = False, False, None
@@ -249,12 +260,22 @@ def serving_bench(config_name: str):
 
     reqs = [rng.integers(3, cfg.vocab_size, (in_len,)).tolist()
             for _ in range(n_req)]
+    # reset observability accumulators so the measured window excludes
+    # warmup (engine-level stats exist on both engine types)
+    if hasattr(eng, "phase_times"):
+        for k in eng.phase_times:
+            eng.phase_times[k] = 0 if k == "steps" else 0.0
+        eng._req_times.clear()
     t0 = time.perf_counter()
     for r in reqs:
         eng.submit(r, out_len)
     done = eng.run_to_completion()
     dt = time.perf_counter() - t0
     total_tokens = sum(len(d.output_ids) for d in done.values())
+    extra = {}
+    if hasattr(eng, "latency_stats"):
+        extra = {"latency": eng.latency_stats(),
+                 "phases_ms_per_step": eng.phase_stats()}
     _emit({
         "metric": f"serving throughput (LLaMA-7B {config_name}, "
                   f"{slots} slots, {n_req} reqs, in{in_len} out{out_len}"
@@ -266,10 +287,12 @@ def serving_bench(config_name: str):
                   + (", mixed" if mixed else "")
                   + (", pipelined" if pipelined else "")
                   + (f", spec-{spec_draft}" if spec_draft else "")
-                  + (", int8kv" if spec_draft and spec_kv else "") + ")",
+                  + (", int8kv" if spec_draft and spec_kv else "")
+                  + (", repetitive" if repetitive else "") + ")",
         "value": round(total_tokens / dt, 2),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching
+        **extra,
     })
 
 

@@ -294,7 +294,14 @@ def main():
                         "--per_request_sampling, per-request temperature/"
                         "top_k/top_p run rejection-sampling verification)")
     p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--prompt_lookup", type=int, default=0, metavar="NGRAM",
+                   help="serve with DRAFT-FREE prompt-lookup speculative "
+                        "decoding (n-gram proposals from each request's "
+                        "own history; greedy-only, no draft model needed)")
     args = p.parse_args()
+    if args.draft_engine_dir and args.prompt_lookup:
+        raise SystemExit("--draft_engine_dir and --prompt_lookup are "
+                         "mutually exclusive speculative modes")
 
     from transformers import AutoTokenizer
     from trtllm_llama_tpu.config import EngineConfig
@@ -310,7 +317,15 @@ def main():
     scfg = SamplingConfig(
         end_id=(tokenizer.eos_token_id
                 if tokenizer.eos_token_id is not None else -1))
-    if args.draft_engine_dir:
+    if args.prompt_lookup:
+        from trtllm_llama_tpu.runtime.serving_spec import (
+            PromptLookupServingEngine)
+        engine = PromptLookupServingEngine(
+            cfg, params, ecfg, gamma=args.gamma, ngram=args.prompt_lookup,
+            sampling=scfg, kv_scales=kv_scales,
+            decode_chunk=args.decode_chunk,
+            return_logprobs=args.logprobs)
+    elif args.draft_engine_dir:
         from trtllm_llama_tpu.runtime.serving_spec import (
             SpeculativeServingEngine)
         dcfg, dparams, dkv = load_engine(args.draft_engine_dir)

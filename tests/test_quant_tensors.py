@@ -18,7 +18,7 @@ from trtllm_llama_tpu.quantization.tensors import (
 )
 
 
-@pytest.mark.parametrize("pack_block", [2, 32, 64])
+@pytest.mark.parametrize("pack_block", [8, 32, 64])
 def test_int4_pack_roundtrip(pack_block):
     rng = np.random.default_rng(0)
     q = rng.integers(-8, 8, (6, 64, 128)).astype(np.int8)

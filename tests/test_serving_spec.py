@@ -226,3 +226,79 @@ def test_spec_serving_rejects_unsupported_features(setup):
     bad = SamplingConfig(end_id=-1, repetition_penalty=1.3)
     with pytest.raises(ValueError, match="penalties"):
         eng.submit([5, 6, 7], 4, sampling=bad)
+
+
+# ---------------------------------------------------------------------------
+# PromptLookupServingEngine (draft-free)
+# ---------------------------------------------------------------------------
+
+def test_prompt_lookup_serving_matches_plain(setup):
+    """Greedy exactness: prompt-lookup serving emits exactly the plain
+    engine's token streams (mixed lengths + mid-flight arrival)."""
+    from trtllm_llama_tpu.runtime.serving_spec import (
+        PromptLookupServingEngine,
+    )
+    params, _ = setup
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 250, (n,)).tolist() for n in (5, 9, 3, 7)]
+    new_tokens = [6, 4, 8, 7]
+    ref = _ref_outputs(params, prompts, new_tokens)
+    eng = PromptLookupServingEngine(CFG, params, ECFG, gamma=3, ngram=2,
+                                    sampling=SCFG, decode_chunk=4)
+    rids = [eng.submit(p, n) for p, n in zip(prompts[:2], new_tokens[:2])]
+    eng.step()
+    rids += [eng.submit(p, n) for p, n in zip(prompts[2:], new_tokens[2:])]
+    done = eng.run_to_completion()
+    for rid, want in zip(rids, ref):
+        assert done[rid].output_ids == want.output_ids, (
+            rid, done[rid].output_ids, want.output_ids)
+        assert done[rid].finished_reason == want.finished_reason
+
+
+def test_prompt_lookup_serving_accepts_on_repetition(setup):
+    """A strictly periodic prompt makes the model's own continuation
+    likely-periodic; at minimum the engine must stay exact AND finish in
+    fewer decode iterations than tokens (i.e. some proposals accepted).
+    Exactness is the hard bar; acceptance is asserted via step count."""
+    from trtllm_llama_tpu.runtime.serving_spec import (
+        PromptLookupServingEngine,
+    )
+    params, _ = setup
+    span = [11, 23, 5, 42]
+    prompt = (span * 4)[:14]           # periodic prompt
+    ref = _ref_outputs(params, [prompt], [10])[0]
+    eng = PromptLookupServingEngine(CFG, params, ECFG, gamma=4, ngram=2,
+                                    sampling=SCFG, decode_chunk=10)
+    rid = eng.submit(prompt, 10)
+    done = eng.run_to_completion()
+    assert done[rid].output_ids == ref.output_ids
+
+
+def test_prompt_lookup_serving_rejects_stochastic():
+    from trtllm_llama_tpu.runtime.serving_spec import (
+        PromptLookupServingEngine,
+    )
+    params = llama.init_params(CFG, jax.random.PRNGKey(5))
+    with pytest.raises(ValueError, match="greedy"):
+        PromptLookupServingEngine(
+            CFG, params, ECFG, sampling=SamplingConfig(end_id=-1, top_k=5,
+                                                       temperature=0.7))
+
+
+def test_prompt_lookup_serving_stop_words(setup):
+    """Host-side stop criteria compose with the speculative slab."""
+    from trtllm_llama_tpu.runtime.serving_spec import (
+        PromptLookupServingEngine,
+    )
+    params, _ = setup
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(3, 250, (6,)).tolist()
+    free = _ref_outputs(params, [prompt], [8])[0]
+    stop = [free.output_ids[3]]
+    scfg = SamplingConfig(end_id=-1, stop_words=[stop])
+    eng = PromptLookupServingEngine(CFG, params, ECFG, gamma=3,
+                                    sampling=scfg, decode_chunk=4)
+    rid = eng.submit(prompt, 8)
+    done = eng.run_to_completion()
+    assert done[rid].output_ids == free.output_ids[:4]
+    assert done[rid].finished_reason == "stop_words"

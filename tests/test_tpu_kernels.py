@@ -162,3 +162,47 @@ def test_fp8_matmul_on_chip():
     out = np.asarray(fp8_matmul(jnp.asarray(x), f8))
     expected = x @ np.asarray(f8.dequantize())
     np.testing.assert_allclose(out, expected, atol=5e-2, rtol=5e-2)
+
+
+def test_woq_matmul_int4_on_chip():
+    """INT4 bit-plant quartered decode vs dequantize reference, grouped
+    scales — Mosaic-compiled (the pack layout was designed from probed
+    v5e bitcast semantics; this pins them on real hardware)."""
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import woq_matmul
+    from trtllm_llama_tpu.quantization.tensors import quantize_weight_only
+
+    rng = np.random.default_rng(11)
+    m, k, n = 8, 512, 512
+    x = (rng.standard_normal((m, k)) * 0.3).astype(np.float32)
+    w = (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+    wq = quantize_weight_only(jnp.asarray(w), w_bits=4, group_size=128)
+    out = np.asarray(woq_matmul(jnp.asarray(x), wq))
+    expected = x @ np.asarray(wq.dequantize())
+    np.testing.assert_allclose(out, expected, atol=5e-2, rtol=5e-2)
+
+
+def test_fp8_planes_decode_exact_on_chip():
+    """The fp8 double-plant (SWAR bf16, 2 bytes/lane-op) must agree with
+    the exact arithmetic codec on ALL encodable codes when Mosaic-compiled,
+    through the interleaved row layout."""
+    from jax.experimental import pallas as pl
+    from trtllm_llama_tpu.ops.fp8 import fp8_decode
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import _decode_fp8_planes
+    from trtllm_llama_tpu.quantization.tensors import interleave_fp8_rows
+
+    # rows 0..127 hold codes (2r, 2r+1) so all 256 codes appear
+    codes = np.arange(256, dtype=np.uint8).reshape(128, 2)
+    codes = np.broadcast_to(codes[:, :, None],
+                            (128, 2, 64)).reshape(128, 128)
+    inter = interleave_fp8_rows(jnp.asarray(codes), 128)
+
+    def kern(q_ref, o_ref):
+        pe, po = _decode_fp8_planes(q_ref[:], jnp.float32)
+        o_ref[:] = jnp.concatenate([pe, po], axis=0)
+
+    got = np.asarray(pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32))(inter))
+    ref = np.asarray(fp8_decode(jnp.asarray(codes), jnp.float32))
+    mag = codes & 0x7F
+    encodable = ((mag >= 8) & (mag != 0x7F)) | (mag == 0)
+    np.testing.assert_array_equal(got[encodable], ref[encodable])

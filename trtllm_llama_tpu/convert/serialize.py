@@ -29,7 +29,11 @@ import ml_dtypes
 from ..config import ModelConfig
 from ..quantization.tensors import FP8Weight, SQWeight, WOQWeight
 
-_FORMAT_VERSION = 1
+# v2: int4 pack layout changed to the bit-plant quartered interleave and
+# fp8 weights gained interleave_block row permutation (both consumed by the
+# SWAR bf16 bit-plant matmul decodes) — v1 dirs hold the old byte order and
+# must be re-converted.
+_FORMAT_VERSION = 2
 
 
 def _leaf_name(path) -> str:
@@ -107,7 +111,9 @@ def save_engine(out_dir: str, cfg: ModelConfig, params,
                 "type": "SQWeight", "per_channel": tree.per_channel,
                 "per_token": tree.per_token}
         elif isinstance(tree, FP8Weight):
-            manifest["containers"][prefix] = {"type": "FP8Weight"}
+            manifest["containers"][prefix] = {
+                "type": "FP8Weight",
+                "interleave_block": tree.interleave_block}
         elif isinstance(tree, dict):
             for k, v in tree.items():
                 record_containers(v, f"{prefix}.{k}" if prefix else k)
@@ -163,7 +169,8 @@ def load_engine(engine_dir: str
                                     node["scale_x"], node["scale_y"],
                                     cmeta["per_channel"], cmeta["per_token"])
                 if cmeta["type"] == "FP8Weight":
-                    return FP8Weight(node["qweight"], node["scale"])
+                    return FP8Weight(node["qweight"], node["scale"],
+                                     cmeta.get("interleave_block", 0))
             return {k: wrap(v, f"{prefix}.{k}" if prefix else k)
                     for k, v in node.items()}
         return node

@@ -64,7 +64,7 @@ def _index_layer(w, layer):
         return SQWeight(idx(w.qweight), idx(w.scale_w), idx(w.scale_x),
                         idx(w.scale_y), w.per_channel, w.per_token)
     if isinstance(w, FP8Weight):
-        return FP8Weight(idx(w.qweight), idx(w.scale))
+        return FP8Weight(idx(w.qweight), idx(w.scale), w.interleave_block)
     return idx(w)
 
 
@@ -88,7 +88,8 @@ def dense(x, w, out_dtype=None, layer=None, part=None):
             and isinstance(w, WOQWeight) and _PALLAS["woq_matmul_stacked"]):
         return _sharded_woq(x, w, layer, part, mesh, out_dtype or x.dtype)
     if (mesh is not None and part in ("col", "row") and layer is not None
-            and isinstance(w, FP8Weight) and _PALLAS["fp8_matmul_stacked"]):
+            and isinstance(w, FP8Weight) and _PALLAS["fp8_matmul_stacked"]
+            and _fp8_shard_aligned(w, part, mesh)):
         return _sharded_fp8(x, w, layer, part, mesh, out_dtype or x.dtype)
     if (mesh is not None and part in ("col", "row") and layer is not None
             and isinstance(w, SQWeight) and w.per_token
@@ -148,6 +149,21 @@ def _dense_woq(x, w: WOQWeight, out_dtype=None):
     return y.astype(out_dtype)
 
 
+def _fp8_shard_aligned(w: "FP8Weight", part, mesh) -> bool:
+    """Row-parallel TP slices the fp8 weight's K dim into contiguous
+    K/tp shards; the interleave_block row permutation is block-local, so a
+    shard boundary inside a block would scramble which logical rows the
+    kernel's even/odd byte planes decode. Only take the sharded kernel
+    path when every shard is whole blocks (true for all real model shapes:
+    K >= 4096, blocks of 128); otherwise fall back to the XLA decode path,
+    which deinterleaves explicitly and lets GSPMD shard the dot."""
+    ib = w.interleave_block
+    if not ib or part != "row":
+        return True
+    tp = dict(getattr(mesh, "shape", {})).get("tp", 1)
+    return (w.k_dim // max(tp, 1)) % ib == 0
+
+
 def _dense_fp8(x, w: FP8Weight, out_dtype=None):
     """FP8 weight matmul: per-channel scale as the epilogue (scale constant
     along K, exact). Pallas kernel path decodes e4m3 bytes in VMEM
@@ -161,7 +177,11 @@ def _dense_fp8(x, w: FP8Weight, out_dtype=None):
     if _kern("fp8_matmul") is not None:
         return _PALLAS["fp8_matmul"](x, w).astype(out_dtype)
     from .fp8 import fp8_decode
-    wf = fp8_decode(w.qweight, x.dtype)
+    from ..quantization.tensors import deinterleave_fp8_rows
+    q = w.qweight
+    if w.interleave_block:
+        q = deinterleave_fp8_rows(q, w.interleave_block)
+    wf = fp8_decode(q, x.dtype)
     acc = jnp.dot(x, wf, preferred_element_type=jnp.float32)
     return (acc * w.scale).astype(out_dtype)
 
@@ -242,7 +262,7 @@ def _sharded_fp8(x, w: FP8Weight, layer, part, mesh, out_dtype):
         s_spec, o_spec = P(None, None), P(*lead, None)
 
     def f(xl, qw, sc, lyr):
-        wl = FP8Weight(qw, sc)
+        wl = FP8Weight(qw, sc, w.interleave_block)
 
         def mm(n_window=None):
             return _PALLAS["fp8_matmul_stacked"](xl, wl, lyr,

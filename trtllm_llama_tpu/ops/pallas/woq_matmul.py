@@ -64,33 +64,45 @@ def _grid_order(n_m, n_n, m_p, k, n, w_bytes_per_el, x_bytes=2):
     return grid, mi, ni
 
 
-def _unpack_block_planes(packed_block):
-    """[pb//2, bn] planar-packed *biased* int4 block -> (lo, hi) int8 planes
-    in [0, 15], each [pb//2, bn] (caller subtracts the bias post-dot).
+def _unpack_block_planes(packed_block, compute_dtype):
+    """[pb//2, bn] quartered-packed *biased* int4 block -> four bf16 planes
+    [pb//4, bn] holding 128 + u, one per logical K-quarter (A, B, C, D),
+    via pure SWAR **bf16 bit-plant** — no int8->bf16 converts at all.
 
-    SWAR on uint32-bitcast lanes: each mask/shift op processes 4 bytes at
-    once and per-byte positions survive the bitcast round-trip — ~4x fewer
-    VPU ops than per-element int32 math. Biased storage keeps the nibbles
-    unsigned (SWAR cannot sign-extend without cross-byte borrows). The
-    planes are returned SEPARATE: the planar pack layout means lo holds
-    logical K-rows [0, pb/2) and hi holds [pb/2, pb) of the block, so the
-    caller dots each plane against the matching x column half instead of
-    materializing the [pb, bn] concat — the sublane-dim concat was a full
-    extra copy of the weight tile per chunk."""
+    0x4300 | u is exactly bf16(128 + u) for u in [0, 15] (exponent 134,
+    u lands in the top 4 of the 7 mantissa bits). The uint32 view of the
+    packed tile holds packed rows 4s+j at byte j of word s, and the
+    uint32->bf16 bitcast sends lo16 -> sublane 2s / hi16 -> 2s+1 (both
+    probed on v5e, scripts/probe_int4_kernel.py), so with pack_int4's
+    quartered interleave the four (shift, mask|plant) extractions below
+    land quarters A, B, C, D in logical row order. Cost: ~11 VPU u32-ops
+    per 8 weights, vs 3 SWAR ops + two full int8->bf16 tile converts for
+    the previous planar layout — the converts were the measured bottleneck
+    (int4 ran at 52.1 us vs int8's 47.7 us at decode shapes despite half
+    the HBM bytes). The caller subtracts the planted 128+8 bias post-dot
+    as -136 * rowsum(x)."""
     w32 = pltpu.bitcast(packed_block, jnp.uint32)
-    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
-    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
-    return lo, hi
+    planes = []
+    for sh in (0, 8, 4, 12):       # -> quarters A, B, C, D
+        t = w32 if sh == 0 else (w32 >> sh)
+        p = pltpu.bitcast((t & 0x000F000F) | 0x43004300, jnp.bfloat16)
+        planes.append(p if compute_dtype == jnp.bfloat16
+                      else p.astype(compute_dtype))
+    return planes
 
 
 def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
                  k, compute_dtype, lead=False):
-    """INT4: statically unrolled loop over pack blocks; each block unpacks
-    2D on the VPU and dots raw nibble values — grouped scales are applied to
-    the [bm, bn] dot *output* (scale is constant within a group, and the
-    output tile is ~group_size times smaller than the weight tile, so the
-    epilogue costs 1/group_size of the in-tile dequant the naive kernel
-    does). `lead`: refs carry a leading unit (layer) dim (stacked variant) —
+    """INT4: statically unrolled loop over pack blocks; each block bit-plants
+    four bf16 quarter planes on the VPU and dots them against contiguous x
+    quarter columns — grouped scales are applied to the [bm, bn] dot
+    *output* (scale is constant within a group, and the output tile is
+    ~group_size times smaller than the weight tile, so the epilogue costs
+    1/group_size of the in-tile dequant the naive kernel does). At prefill
+    m the planes are concatenated once into a [pb, bn] tile for a single
+    full-depth MXU pass (the copy amortizes over m rows; at decode m the
+    MXU is idle and the concat would be pure VPU traffic, so quarter dots
+    win). `lead`: refs carry a leading unit (layer) dim (stacked variant) —
     indexed in one combined op, which Mosaic legalizes where chained
     sub-ref views do not."""
     W = ((lambda a, b: w_ref[0, a:b, :]) if lead
@@ -100,19 +112,26 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
     from ...quantization.tensors import INT4_BIAS
 
     pb = pack_block
+    q4 = pb // 4
+    bm = x_ref.shape[0]
     acc = None
     for i in range(k // pb):
-        lo, hi = _unpack_block_planes(W(i * pb // 2, (i + 1) * pb // 2))
+        planes = _unpack_block_planes(
+            W(i * pb // 2, (i + 1) * pb // 2), compute_dtype)
         x_c = x_ref[:, i * pb:(i + 1) * pb].astype(compute_dtype)
-        # planar layout: lo plane = K-rows [0, pb/2), hi = [pb/2, pb) — two
-        # half-K dots replace the concat'd full-block dot (MXU is idle at
-        # decode m; the concat was pure VPU copy traffic)
-        part = (jnp.dot(x_c[:, :pb // 2], lo.astype(compute_dtype),
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(x_c[:, pb // 2:], hi.astype(compute_dtype),
-                          preferred_element_type=jnp.float32))
-        # fold the +8 storage bias out: dot(x, u-8) = dot(x, u) - 8*rowsum(x)
-        part = part - INT4_BIAS * jnp.sum(
+        if bm > 64:
+            # prefill: one full-depth K=pb MXU pass per block
+            part = jnp.dot(x_c, jnp.concatenate(planes, axis=0),
+                           preferred_element_type=jnp.float32)
+        else:
+            part = None
+            for j, p in enumerate(planes):
+                pj = jnp.dot(x_c[:, j * q4:(j + 1) * q4], p,
+                             preferred_element_type=jnp.float32)
+                part = pj if part is None else part + pj
+        # fold the planted 128 + u = 136 + q value out:
+        # dot(x, 136 + q) = dot(x, q) + 136 * rowsum(x)
+        part = part - (128.0 + INT4_BIAS) * jnp.sum(
             x_c.astype(jnp.float32), axis=1, keepdims=True)
         if group_size:
             part = part * S(i, i + 1)      # post-dot grouped scale
@@ -144,14 +163,68 @@ def _decode_fp8_block(q, compute_dtype):
     return (f * jnp.float32(2.0 ** 120)).astype(compute_dtype)
 
 
+def _decode_fp8_planes(packed_block, compute_dtype):
+    """Interleaved e4m3fn byte block [fb, bn] -> two bf16 half planes
+    [fb/2, bn] (first / second logical K-half of the block), by SWAR
+    **bf16 double-plant** on the uint32 view — 2 bytes decoded per vector
+    op lane vs the 1-element-per-lane f32 plant of _decode_fp8_block.
+
+    Per 16-bit half: exp+mantissa bits 0-6 shift to bf16 positions 4-10
+    (e4 -> exponent bits 7-10, m3 -> top-3 mantissa), the sign bit shifts
+    7->15; even bytes (packed rows 4s, 4s+2 -> bf16 sublanes 2s, 2s+1 = the
+    block's FIRST logical half under interleave_fp8_rows) come from the
+    unshifted word, odd bytes from word >> 8. The planted exponent still
+    carries e4m3's bias-7, so multiply by 2^120 (exact in bf16; max code
+    448 = 1.75*2^8 stays finite) — same rebias trick as _decode_fp8_block.
+    ~11 VPU ops + 2 scalar muls per 4 bytes vs ~8 widened-lane ops per
+    byte. Exactness contract unchanged: encoder flushes subnormal codes
+    and never emits NaNs (quantize_fp8_weight)."""
+    v = pltpu.bitcast(packed_block, jnp.uint32)
+    planes = []
+    for t in (v, v >> 8):
+        b = (((t & 0x007F007F) << 4) | ((t & 0x00800080) << 8))
+        p = pltpu.bitcast(b, jnp.bfloat16) * jnp.bfloat16(2.0 ** 120)
+        planes.append(p if compute_dtype == jnp.bfloat16
+                      else p.astype(compute_dtype))
+    return planes
+
+
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
-                 compute_dtype, lead=False, fp8=False):
+                 compute_dtype, lead=False, fp8=False, fp8_fb=0):
     W = ((lambda a, b: w_ref[0, a:b, :]) if lead
          else (lambda a, b: w_ref[a:b, :]))
     S = ((lambda a, b: s_ref[0, a:b, :]) if lead
          else (lambda a, b: s_ref[a:b, :]))
+    bm = x_ref.shape[0]
     acc = None
     for c in range(n_chunks):
+        if fp8 and fp8_fb:
+            # interleaved fp8 layout: per fb-block double-plant into two
+            # contiguous half-K planes, dot each against its x half
+            fb = fp8_fb
+            assert ck % fb == 0, (
+                f"fp8 K-chunk {ck} must be whole interleave blocks of "
+                f"{fb} (a K shard smaller than the block scrambles the "
+                "row permutation — see linear._fp8_shard_aligned)")
+            part = None
+            for b in range(ck // fb):
+                r0 = c * ck + b * fb
+                pe, po = _decode_fp8_planes(W(r0, r0 + fb), compute_dtype)
+                if bm > 64:
+                    pj = jnp.dot(
+                        x_ref[:, r0:r0 + fb].astype(compute_dtype),
+                        jnp.concatenate([pe, po], axis=0),
+                        preferred_element_type=jnp.float32)
+                else:
+                    h = fb // 2
+                    pj = (jnp.dot(x_ref[:, r0:r0 + h].astype(compute_dtype),
+                                  pe, preferred_element_type=jnp.float32)
+                          + jnp.dot(
+                              x_ref[:, r0 + h:r0 + fb].astype(compute_dtype),
+                              po, preferred_element_type=jnp.float32))
+                part = pj if part is None else part + pj
+            acc = part if acc is None else acc + part
+            continue
         qc = W(c * ck, (c + 1) * ck)
         if fp8:
             qc = _decode_fp8_block(qc, compute_dtype)
@@ -244,7 +317,8 @@ def woq_matmul_2d(x, w: WOQWeight, *, bm=None, bn=None,
         assert not (fp8 and gs), "fp8 weights are per-channel scaled"
         kernel = functools.partial(
             _kernel_int8, group_size=gs, ck=ck, n_chunks=n_chunks,
-            compute_dtype=compute_dtype, fp8=fp8)
+            compute_dtype=compute_dtype, fp8=fp8,
+            fp8_fb=(w.pack_block if fp8 else 0))
 
     out = pl.pallas_call(
         kernel,
@@ -298,7 +372,8 @@ def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
     else:
         _kernel_int8(x_ref, w_ref, s_ref, o_ref,
                      group_size=group_size, ck=ck, n_chunks=n_chunks,
-                     compute_dtype=compute_dtype, lead=True, fp8=fp8)
+                     compute_dtype=compute_dtype, lead=True, fp8=fp8,
+                     fp8_fb=(pack_block if fp8 else 0))
 
 
 def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
@@ -428,8 +503,10 @@ def woq_matmul_stacked(x, w: WOQWeight, layer, interpret=False,
 
 def _fp8_shim(w):
     """Zero-copy adapter: an FP8Weight's (qweight, scale) already match the
-    int8 per-channel WOQWeight layout ([L?, K, N] bytes + [L?, N] scale)."""
-    return WOQWeight(w.qweight, w.scale, 8, 0, 0)
+    int8 per-channel WOQWeight layout ([L?, K, N] bytes + [L?, N] scale).
+    The fp8 interleave block rides in pack_block (consumed as fp8_fb by
+    _kernel_int8's double-plant branch)."""
+    return WOQWeight(w.qweight, w.scale, 8, 0, w.interleave_block)
 
 
 def fp8_matmul(x, w, interpret=False):

@@ -82,7 +82,12 @@ def init_random_quantized_params(cfg, key, quant_mode: QuantMode = None,
             codes = jnp.where(sub, codes | 8, codes).astype(jnp.uint8)
             scale = jnp.full(shape[:-2] + (shape[-1],),
                              (fan_in ** -0.5) / 448.0, jnp.float32)
-            return FP8Weight(codes, scale)
+            # random codes are layout-invariant; declare the kernel's
+            # interleaved layout so benches hit the double-plant decode
+            from .tensors import FP8_INTERLEAVE_BLOCK
+            ib = (FP8_INTERLEAVE_BLOCK
+                  if shape[-2] % FP8_INTERLEAVE_BLOCK == 0 else 0)
+            return FP8Weight(codes, scale, ib)
         if quant_mode.is_weight_only():
             w_bits = 4 if quant_mode.has_int4_weights() else 8
             gs = group_size if quant_mode.has_per_group_scaling() else 0

@@ -50,39 +50,49 @@ def dequantize_int8(q, scale, dtype=jnp.float32):
 
 def default_pack_block(k: int, group_size: int = 0) -> int:
     """Pick the int4 pack block: group_size when grouped, else the largest of
-    128/64/... dividing K (whole-K for tiny tests)."""
+    128/64/32/16/8 dividing K (whole-K for tiny tests)."""
     if group_size:
         return group_size
-    for pb in (128, 64, 32, 16, 8, 4, 2):
+    for pb in (128, 64, 32, 16, 8):
         if k % pb == 0:
             return pb
-    raise ValueError(f"K={k} must be even for int4 packing")
+    raise ValueError(f"K={k} must be a multiple of 8 for int4 packing "
+                     "(the bit-plant quartered layout groups 4 packed "
+                     "rows per uint32 word)")
 
 
 INT4_BIAS = 8   # nibbles are stored biased-unsigned: u = q + 8 in [0, 15]
 
 
 def pack_int4(q, pack_block: int):
-    """Pack int values in [-8, 7] along axis -2 (K) into int8 bytes,
-    *planar within each pack_block rows* with *biased-unsigned* nibbles
-    (u = q + 8): the TPU-friendly layout.
+    """Pack int values in [-8, 7] along axis -2 (K) into int8 bytes with
+    *biased-unsigned* nibbles (u = q + 8) in the **bit-plant quartered**
+    layout: the arrangement that makes the kernel-side decode a pure SWAR
+    bf16 construction (no int8->bf16 converts at all).
 
-    Within block b (logical rows [b*pb, (b+1)*pb)), packed row r holds
-    lo = u[b*pb + r] and hi = u[b*pb + pb/2 + r]. The kernel-side unpack is
-    then two SWAR mask/shift ops on uint32-bitcast lanes + a contiguous
-    concat — no sublane interleave, no per-byte sign extension (the bias is
-    folded out after the dot as -8 * rowsum(x), which is per-row scalar
-    work). This offline layout choice is our analogue of the reference's
+    Split block b's pb logical rows into quarters A|B|C|D. Packed row 2m
+    holds (lo=A[m], hi=C[m]); packed row 2m+1 holds (lo=B[m], hi=D[m]).
+    Why: Mosaic's int8->uint32 bitcast makes byte j of u32 word s = packed
+    row 4s+j, and uint32->bf16 sends lo16 -> even sublane / hi16 -> odd
+    sublane (probed on v5e, scripts/probe_int4_kernel.py). So in the kernel
+    ((V >> sh) & 0x000F000F) | 0x43004300 bitcast to bf16 — 0x4300|u is
+    exactly bf16(128 + u) — yields, for sh in (0, 8, 4, 12), four planes
+    that are PRECISELY quarters A, B, C, D in logical row order: contiguous
+    K-quarter dots, zero shuffles, ~11 VPU ops per 8 weights. The planted
+    128+8 bias folds out post-dot as -136 * rowsum(x). This offline layout
+    choice is our analogue of the reference's
     preprocess_weights_for_mixed_gemm shuffling (cutlass_preprocessors.cpp).
     """
     k, n = q.shape[-2], q.shape[-1]
     pb = pack_block
-    assert pb % 2 == 0 and k % pb == 0, (k, pb)
+    assert pb % 8 == 0 and k % pb == 0, (k, pb)
     u = (q.astype(jnp.int32) + INT4_BIAS).astype(jnp.uint8)   # [0, 15]
-    ub = u.reshape(*q.shape[:-2], k // pb, pb, n)
-    lo = ub[..., : pb // 2, :] & 0xF
-    hi = (ub[..., pb // 2:, :] & 0xF) << 4
-    packed = (lo | hi).astype(jnp.int8)
+    ub = u.reshape(*q.shape[:-2], k // pb, 4, pb // 4, n)     # quarters
+    lo = jnp.swapaxes(ub[..., 0:2, :, :], -3, -2)   # [.., pb/4, 2(A|B), n]
+    hi = jnp.swapaxes(ub[..., 2:4, :, :], -3, -2)   # [.., pb/4, 2(C|D), n]
+    lo = lo.reshape(*q.shape[:-2], k // pb, pb // 2, n)  # 2m=A[m], 2m+1=B[m]
+    hi = hi.reshape(*q.shape[:-2], k // pb, pb // 2, n)
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.int8)
     return packed.reshape(*q.shape[:-2], k // 2, n)
 
 
@@ -91,11 +101,11 @@ def unpack_int4(packed, pack_block: int):
     pb = pack_block
     k2, n = packed.shape[-2], packed.shape[-1]
     u = packed.astype(jnp.uint8)
-    b = u.reshape(*packed.shape[:-2], (2 * k2) // pb, pb // 2, n)
-    lo = (b & 0xF).astype(jnp.int32) - INT4_BIAS
-    hi = (b >> 4).astype(jnp.int32) - INT4_BIAS
-    out = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
-    return out.reshape(*packed.shape[:-2], 2 * k2, n)
+    b = u.reshape(*packed.shape[:-2], (2 * k2) // pb, pb // 4, 2, n)
+    lo = jnp.swapaxes((b & 0xF).astype(jnp.int32) - INT4_BIAS, -3, -2)
+    hi = jnp.swapaxes((b >> 4).astype(jnp.int32) - INT4_BIAS, -3, -2)
+    out = jnp.concatenate([lo, hi], axis=-3)        # [.., 4(A|B|C|D), pb/4, n]
+    return out.reshape(*packed.shape[:-2], 2 * k2, n).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -228,8 +238,34 @@ def quantize_smoothquant_weight(w, act_amax, y_amax=None,
 # FP8 (e4m3fn) weights
 # ---------------------------------------------------------------------------
 
+def interleave_fp8_rows(q, block: int):
+    """Reorder e4m3 byte rows for the kernel's SWAR bf16 double-plant:
+    within each `block` K rows, packed row 2m holds logical row m (first
+    half) and packed row 2m+1 holds logical row block/2 + m (second half).
+    Mosaic's uint8->uint32 bitcast puts byte j of word s at packed row
+    4s+j and uint32->bf16 sends lo16/hi16 to even/odd sublanes (probed,
+    scripts/probe_int4_kernel.py), so the kernel's even-byte plane
+    ((V & 0x007F007F) << 4 | sign) decodes the block's first K-half in
+    logical order and the odd-byte plane the second half — two contiguous
+    half-K dots, no shuffles. Self-inverse is deinterleave_fp8_rows."""
+    k, n = q.shape[-2], q.shape[-1]
+    assert block % 8 == 0 and k % block == 0, (k, block)
+    b = q.reshape(*q.shape[:-2], k // block, 2, block // 2, n)
+    return jnp.swapaxes(b, -3, -2).reshape(q.shape)
+
+
+def deinterleave_fp8_rows(q, block: int):
+    """Inverse of interleave_fp8_rows."""
+    k, n = q.shape[-2], q.shape[-1]
+    b = q.reshape(*q.shape[:-2], k // block, block // 2, 2, n)
+    return jnp.swapaxes(b, -3, -2).reshape(q.shape)
+
+
+FP8_INTERLEAVE_BLOCK = 128   # matches the kernels' per-block decode unroll
+
+
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["qweight", "scale"], meta_fields=[])
+         data_fields=["qweight", "scale"], meta_fields=["interleave_block"])
 @dataclasses.dataclass
 class FP8Weight:
     """FP8-quantized linear weight (QuantMode.FP8_QDQ — the path the
@@ -238,10 +274,14 @@ class FP8Weight:
     qweight: uint8 [..., K, N] e4m3fn bit-codes (ops/fp8.py codec — native
              fp8 dtypes hang this backend's remote compile)
     scale:   f32 [..., N] per-channel dequant scale (amax -> 448)
+    interleave_block: 0 = plain logical row order; >0 = rows permuted by
+             interleave_fp8_rows(., block) so the matmul kernel's SWAR
+             bf16 double-plant decode reads contiguous K-halves
     """
 
     qweight: jnp.ndarray
     scale: jnp.ndarray
+    interleave_block: int = 0
 
     @property
     def k_dim(self) -> int:
@@ -249,7 +289,10 @@ class FP8Weight:
 
     def dequantize(self, dtype=jnp.float32):
         from ..ops.fp8 import fp8_decode
-        w = fp8_decode(self.qweight) * self.scale[..., None, :]
+        q = self.qweight
+        if self.interleave_block:
+            q = deinterleave_fp8_rows(q, self.interleave_block)
+        w = fp8_decode(q) * self.scale[..., None, :]
         return w.astype(dtype)
 
 
@@ -269,7 +312,11 @@ def quantize_fp8_weight(w) -> FP8Weight:
     scale = jnp.maximum(amax, 1e-8) / FP8_MAX
     q = fp8_encode(w / scale[..., None, :])
     q = jnp.where((q & 0x7F) < 8, q & 0x80, q)   # flush subnormals to +-0
-    return FP8Weight(qweight=q, scale=scale.astype(jnp.float32))
+    ib = FP8_INTERLEAVE_BLOCK if w.shape[-2] % FP8_INTERLEAVE_BLOCK == 0 else 0
+    if ib:
+        q = interleave_fp8_rows(q, ib)
+    return FP8Weight(qweight=q, scale=scale.astype(jnp.float32),
+                     interleave_block=ib)
 
 
 # ---------------------------------------------------------------------------
@@ -323,8 +370,11 @@ def concat_columns(ws):
                         ws[0].scale_x, ws[0].scale_y,
                         per_channel=True, per_token=ws[0].per_token)
     if t is FP8Weight:
+        if any(w.interleave_block != ws[0].interleave_block for w in ws):
+            return None
         return FP8Weight(cat([w.qweight for w in ws]),
-                         cat([w.scale for w in ws]))
+                         cat([w.scale for w in ws]),
+                         ws[0].interleave_block)
     if all(isinstance(w, jnp.ndarray) or hasattr(w, "dtype") for w in ws):
         return cat(list(ws))
     return None

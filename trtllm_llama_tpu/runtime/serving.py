@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -307,6 +308,16 @@ class ServingEngine:
                 (self.n_rows, max(self.max_bad_word_len - 1, 1)), -2,
                 np.int32))
         self._req_sampling: Dict[int, SamplingConfig] = {}
+        # --- observability (reference gpt_benchmark.py:330-347 reports
+        # percentile latencies; GptManager exposes per-step stats) --------
+        # per-phase wall time accumulators: admission (prefill dispatch +
+        # its blocking readbacks), decode dispatch (host enqueue of the
+        # chunk), readback (blocks until device compute + d2h finish), and
+        # host bookkeeping (token recording / stop criteria / slot frees)
+        self.phase_times = {"admit": 0.0, "dispatch": 0.0,
+                            "readback": 0.0, "host": 0.0, "steps": 0}
+        # rid -> [t_submit, t_first_token, t_done, n_tokens_recorded]
+        self._req_times: Dict[int, list] = {}
         self._fn_cache = {}
         self._key = self._dev(jax.random.PRNGKey(0))
 
@@ -780,8 +791,7 @@ class ServingEngine:
                 if self.return_logprobs:
                     self._req_logprobs.setdefault(
                         req.request_id, []).append(float(out_lp[slot, j]))
-                if self.scheduler.record_token(req.request_id, int(t),
-                                               self.scfg.end_id):
+                if self._record_token(req, int(t)):
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
                     finished.append(self._finish_recorded(req))
@@ -826,8 +836,7 @@ class ServingEngine:
             if self.return_logprobs and lps is not None:
                 self._req_logprobs.setdefault(req.request_id, []).append(
                     float(lps[i]))
-            if self.scheduler.record_token(req.request_id, int(tokens[i]),
-                                           self.scfg.end_id):
+            if self._record_token(req, int(tokens[i])):
                 self._release_slot(req.slot)
                 self._req_sampling.pop(req.request_id, None)
                 finished.append(self._finish_recorded(req))
@@ -849,7 +858,63 @@ class ServingEngine:
                 return True
         return False
 
+    def _record_token(self, req: Request, token: int) -> bool:
+        """scheduler.record_token + latency stamps (TTFT on the first
+        recorded token, completion time when the request closes)."""
+        done = self.scheduler.record_token(req.request_id, token,
+                                           self.scfg.end_id)
+        t = self._req_times.get(req.request_id)
+        if t is not None:
+            now = time.perf_counter()
+            if t[1] is None:
+                t[1] = now
+            t[3] += 1
+            if done:
+                t[2] = now
+        return done
+
+    def latency_stats(self) -> dict:
+        """TTFT / TPOT / end-to-end percentiles over completed requests
+        (what the reference's benchmark harness reports,
+        benchmarks/gpt_benchmark.py:330-347). TTFT includes queue wait —
+        the serving-level metric. Times are chunk-granular: tokens become
+        visible to pollers at chunk readback, which is what TPOT measures
+        honestly here."""
+        done = [t for t in self._req_times.values()
+                if t[1] is not None and t[2] is not None]
+        if not done:
+            return {}
+
+        def pct(a):
+            a = np.asarray(a, np.float64)
+            return {"p50": round(float(np.percentile(a, 50)), 4),
+                    "p90": round(float(np.percentile(a, 90)), 4),
+                    "p99": round(float(np.percentile(a, 99)), 4),
+                    "mean": round(float(a.mean()), 4)}
+
+        tpot = [(t[2] - t[1]) / (t[3] - 1) for t in done if t[3] > 1]
+        return {"n_done": len(done),
+                "ttft_s": pct([t[1] - t[0] for t in done]),
+                "e2e_s": pct([t[2] - t[0] for t in done]),
+                "tpot_s": pct(tpot) if tpot else None}
+
+    def phase_stats(self) -> dict:
+        """Per-phase mean milliseconds per engine step (admission /
+        decode dispatch / chunk readback / host bookkeeping) — the serving
+        roofline breakdown. Phases are wall-clock disjoint within step():
+        'readback' blocks on device compute, so it absorbs the decode
+        chunk's device time; a dispatch-bound engine shows 'admit'+'host'
+        rivaling 'readback'."""
+        n = max(self.phase_times["steps"], 1)
+        out = {k: round(1e3 * v / n, 3)
+               for k, v in self.phase_times.items() if k != "steps"}
+        out["steps"] = self.phase_times["steps"]
+        return out
+
     def _finish_stopped(self, req: Request) -> FinishedRequest:
+        t = self._req_times.get(req.request_id)
+        if t is not None and t[2] is None:
+            t[2] = time.perf_counter()
         self.scheduler.finish(req.request_id, "stop_words")
         self._release_slot(req.slot)
         self._req_sampling.pop(req.request_id, None)
@@ -921,6 +986,7 @@ class ServingEngine:
             self._pending_ops.append(
                 ("submit", list(input_ids), max_new_tokens, sampling))
         rid = self.scheduler.submit(input_ids, max_new_tokens)
+        self._req_times[rid] = [time.perf_counter(), None, None, 0]
         if sampling is not None:
             self._req_sampling[rid] = sampling
         return rid
@@ -1075,6 +1141,7 @@ class ServingEngine:
             if self._stopped:
                 return []
         finished: List[FinishedRequest] = []
+        _t0 = time.perf_counter()
 
         admitted = self.scheduler.admit()
         if self.prefill_chunk is not None:
@@ -1116,6 +1183,8 @@ class ServingEngine:
                 finished.extend(self._admit_group(group, bucket))
         if self._partial:
             finished.extend(self._advance_partials())
+        self.phase_times["admit"] += time.perf_counter() - _t0
+        self.phase_times["steps"] += 1
 
         # host-side activity check: the scheduler already knows which
         # requests are in flight — asking the device (`slot_active.any()`)
@@ -1140,11 +1209,14 @@ class ServingEngine:
         KERNELS["mesh"] = self.mesh
         finished: List[FinishedRequest] = []
 
+        _t0 = time.perf_counter()
         dispatched = self._decode_dispatch()
+        self.phase_times["dispatch"] += time.perf_counter() - _t0
         if self._pending_chunk is not None:
             finished.extend(self._decode_process(self._pending_chunk))
         self._pending_chunk = dispatched
 
+        _t0 = time.perf_counter()
         admitted = self.scheduler.admit()
         if self.prefill_chunk is not None:
             long = [r for r in admitted
@@ -1169,13 +1241,17 @@ class ServingEngine:
                 finished.extend(self._admit_group(group, bucket))
         if self._partial:
             finished.extend(self._advance_partials())
+        self.phase_times["admit"] += time.perf_counter() - _t0
+        self.phase_times["steps"] += 1
         return finished
 
     def _decode_phase(self) -> List[FinishedRequest]:
         """Advance all decoding slots by one device chunk and record the
         tokens (override point: SpeculativeServingEngine replaces this with
         draft/verify iterations)."""
+        _t0 = time.perf_counter()
         pending = self._decode_dispatch()
+        self.phase_times["dispatch"] += time.perf_counter() - _t0
         if pending is None:
             return []
         return self._decode_process(pending)
@@ -1227,8 +1303,11 @@ class ServingEngine:
         """Read back one dispatched chunk and record its tokens."""
         slot_of, out, out_lp = pending
         finished: List[FinishedRequest] = []
+        _t0 = time.perf_counter()
         out, out_lp = self._read_many(
             out, out_lp if self.return_logprobs else None)
+        _t1 = time.perf_counter()
+        self.phase_times["readback"] += _t1 - _t0
         # under pipelining a snapshot request may have finished while this
         # chunk was in flight (EOS/budget froze it on device; stop-words
         # released it host-side) — its rows are stale, skip them
@@ -1241,8 +1320,7 @@ class ServingEngine:
                     # pad steps (slot froze) never reach record_token
                     self._req_logprobs.setdefault(
                         req.request_id, []).append(float(out_lp[slot, j]))
-                if self.scheduler.record_token(req.request_id, int(t),
-                                               self.scfg.end_id):
+                if self._record_token(req, int(t)):
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
                     finished.append(self._finish_recorded(req))
@@ -1252,6 +1330,7 @@ class ServingEngine:
                     # the chunk) are discarded with the slot
                     finished.append(self._finish_stopped(req))
                     break
+        self.phase_times["host"] += time.perf_counter() - _t1
         return finished
 
     def run_to_completion(self, max_steps: int = 10_000

@@ -383,9 +383,7 @@ class SpeculativeServingEngine(ServingEngine):
                 if self.return_logprobs:
                     self._req_logprobs.setdefault(
                         req.request_id, []).append(float(out_lp[slot, j]))
-                if self.scheduler.record_token(req.request_id,
-                                               int(out[slot, j]),
-                                               self.scfg.end_id):
+                if self._record_token(req, int(out[slot, j])):
                     self._release_slot(slot)
                     self._req_sampling.pop(req.request_id, None)
                     finished.append(self._finish_recorded(req))
@@ -393,4 +391,188 @@ class SpeculativeServingEngine(ServingEngine):
                 if self._stop_matched(req):
                     finished.append(self._finish_stopped(req))
                     break
+        return finished
+
+
+class PromptLookupServingEngine(ServingEngine):
+    """Draft-FREE speculative serving: per-slot prompt-lookup (n-gram)
+    proposals verified by the target's vectorized slab — no draft model, no
+    second KV cache, no extra weight traffic (runtime/speculative.py::
+    PromptLookupSession semantics, lifted into the continuous-batching slot
+    pool).
+
+    Each decode iteration proposes, for every active slot, the γ tokens
+    that followed the most recent earlier occurrence of the slot's last
+    `ngram` committed tokens in its own prompt+output history, then runs
+    ONE target forward_extend over all slots and commits the longest
+    matching prefix + bonus token. The history slab is rebuilt host-side
+    from the scheduler (the source of truth) at each chunk dispatch and
+    updated in-graph within the chunk. Greedy-only (an n-gram proposal has
+    no q distribution); output is bit-identical to the plain engine's
+    greedy stream. On non-repetitive text every iteration still commits
+    the bonus token, so tokens-per-target-read never drops below vanilla
+    decode — this is the only speculative mode that needs no well-matched
+    small checkpoint to win (measured: draft-model speculative serving
+    REDUCES aggregate throughput without one, scripts/bench_history.jsonl).
+    """
+
+    def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
+                 gamma: int = 4, ngram: int = 3,
+                 sampling: Optional[SamplingConfig] = None,
+                 kv_scales=None, decode_chunk: int = 8, model=None,
+                 return_logprobs: bool = False):
+        scfg = sampling or SamplingConfig()
+        if not scfg.is_greedy:
+            raise ValueError("prompt-lookup serving is greedy-only "
+                             "(an n-gram proposal has no q distribution)")
+        super().__init__(cfg, params, engine_cfg, sampling=scfg,
+                         kv_scales=kv_scales, decode_chunk=decode_chunk,
+                         model=model, return_logprobs=return_logprobs,
+                         cache_headroom=int(gamma) + 1)
+        if not hasattr(self.model, "forward_extend"):
+            raise ValueError("prompt-lookup serving needs the model "
+                             "family to provide forward_extend")
+        self.gamma = int(gamma)
+        self.ngram = int(ngram)
+        self.t_hist = int(engine_cfg.max_seq_len)
+
+    # ------------------------------------------------------------------
+    def _pl_decode_fn(self, n_iters: int):
+        cfg, model, scfg = self.cfg, self.model, self.scfg
+        gamma, ngram = self.gamma, self.ngram
+        n_rows, t_hist = self.n_rows, self.t_hist
+        end_id, pad_id = scfg.end_id, scfg.pad_id
+        t_cols = n_iters * (gamma + 1)
+        smax = int(self.caches.k.shape[3])
+        rows = jnp.arange(n_rows)
+        want_lp = self.return_logprobs
+        n_win = t_hist - ngram + 1
+        w_pos = jnp.arange(n_win)
+
+        def fn(params, caches, hist, lens, active, gen, budget):
+            out = jnp.full((n_rows, t_cols), pad_id, jnp.int32)
+            out_lp = jnp.zeros((n_rows, t_cols), jnp.float32)
+            written = jnp.zeros((n_rows,), jnp.int32)
+
+            def body(it, st):
+                caches, hist, lens, active, gen, out, out_lp, written = st
+                p_new = lens + 1        # hist length (cache holds p_new-1)
+
+                # ---- propose: most recent earlier occurrence of the last
+                # `ngram` committed tokens, per slot ----------------------
+                gram_idx = (p_new[:, None] - ngram
+                            + jnp.arange(ngram)[None])
+                gram = jnp.take_along_axis(
+                    hist, jnp.clip(gram_idx, 0, t_hist - 1), 1)
+                match = jnp.ones((n_rows, n_win), bool)
+                for j in range(ngram):
+                    match &= hist[:, j:n_win + j] == gram[:, j:j + 1]
+                match &= w_pos[None] < (p_new - ngram)[:, None]
+                t_star = jnp.max(jnp.where(match, w_pos[None], -1), 1)
+                found = t_star >= 0
+                src = (t_star + ngram)[:, None] + jnp.arange(gamma)[None]
+                props = jnp.take_along_axis(
+                    hist, jnp.clip(src, 0, t_hist - 1), 1)
+                last = jnp.take_along_axis(
+                    hist, jnp.clip(p_new - 1, 0, t_hist - 1)[:, None], 1)
+                props = jnp.where(found[:, None], props,
+                                  jnp.broadcast_to(last, (n_rows, gamma)))
+
+                # ---- verify: one target extend over all slots ----------
+                ver = jnp.concatenate([last, props], axis=1)
+                start = jnp.minimum(p_new - 1, smax - gamma - 1)
+                lg, caches = model.forward_extend(
+                    params, cfg, ver, start, caches)
+                g = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                match_t = props == g[:, :gamma]
+                n = jnp.sum(jnp.cumprod(match_t.astype(jnp.int32), 1), 1)
+                i_idx = jnp.arange(gamma + 1)[None]
+                bonus = jnp.take_along_axis(g, n[:, None], 1)
+                props_ext = jnp.concatenate(
+                    [props, jnp.zeros((n_rows, 1), jnp.int32)], 1)
+                slab = jnp.where(i_idx < n[:, None], props_ext,
+                                 jnp.where(i_idx == n[:, None], bonus,
+                                           pad_id))
+                room = (budget - gen)[:, None]
+                valid = ((i_idx <= n[:, None]) & (i_idx < room)
+                         & active[:, None])
+                is_eos = (slab == end_id) & valid
+                valid = valid & (jnp.cumsum(is_eos, 1) - is_eos == 0)
+                k = jnp.sum(valid.astype(jnp.int32), 1)
+
+                col = jnp.where(valid, written[:, None] + i_idx, t_cols)
+                out = out.at[rows[:, None], col].set(slab, mode="drop")
+                if want_lp:
+                    lsm = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+                    slab_lp = jnp.take_along_axis(
+                        lsm, jnp.clip(slab, 0, None)[..., None], -1)[..., 0]
+                    out_lp = out_lp.at[rows[:, None], col].set(
+                        slab_lp, mode="drop")
+                col_h = jnp.where(valid, p_new[:, None] + i_idx, t_hist)
+                hist = hist.at[rows[:, None], col_h].set(slab, mode="drop")
+                written = written + k
+                gen = gen + k
+                lens = lens + k
+                active = (active & ~jnp.any(is_eos & valid, 1)
+                          & (gen < budget))
+                return (caches, hist, lens, active, gen, out, out_lp,
+                        written)
+
+            st = (caches, hist, lens, active, gen, out, out_lp, written)
+            st = jax.lax.fori_loop(0, n_iters, body, st)
+            caches, hist, lens, active, gen, out, out_lp, written = st
+            last_tok = jnp.take_along_axis(
+                hist, jnp.clip(lens, 0, t_hist - 1)[:, None], 1)[:, 0]
+            return (caches, lens, active, gen, out, out_lp, written,
+                    last_tok)
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _decode_phase(self) -> List[FinishedRequest]:
+        finished: List[FinishedRequest] = []
+        decoding = list(self.scheduler.active_requests())
+        budgets = [r.max_new_tokens - len(r.output_ids) for r in decoding]
+        remaining = max(budgets) if budgets else 0
+        chunk = min(self.decode_chunk, remaining)
+        if chunk <= 0:
+            return finished
+        n_iters = -(-chunk // (self.gamma + 1))
+        slot_of = {r.slot: r for r in decoding}
+        import time as _time
+        _t0 = _time.perf_counter()
+        # history slab: prompt + committed output per slot, -1 elsewhere
+        # (-1 never equals a real token id, so unwritten positions cannot
+        # fake an n-gram match); rebuilt from the scheduler each chunk so
+        # the in-graph copy can never drift from the host's token record
+        hist = np.full((self.n_rows, self.t_hist), -1, np.int32)
+        for slot, req in slot_of.items():
+            toks = list(req.input_ids) + list(req.output_ids)
+            hist[slot, :len(toks)] = toks[:self.t_hist]
+        fn = self._get(("pl_decode", n_iters), self._pl_decode_fn, n_iters)
+        (self.caches, self.slot_lens, self.slot_active, self.slot_gen,
+         out, out_lp, k_tot, last_tok) = fn(
+            self.params, self.caches, self._dev(hist), self.slot_lens,
+            self.slot_active, self.slot_gen, self.slot_budget)
+        self.slot_tokens = last_tok
+        _t1 = _time.perf_counter()
+        self.phase_times["dispatch"] += _t1 - _t0
+        out, out_lp, k_tot = self._read_many(
+            out, out_lp if self.return_logprobs else None, k_tot)
+        _t2 = _time.perf_counter()
+        self.phase_times["readback"] += _t2 - _t1
+
+        for slot, req in slot_of.items():
+            for j in range(int(k_tot[slot])):
+                if self.return_logprobs:
+                    self._req_logprobs.setdefault(
+                        req.request_id, []).append(float(out_lp[slot, j]))
+                if self._record_token(req, int(out[slot, j])):
+                    self._release_slot(slot)
+                    self._req_sampling.pop(req.request_id, None)
+                    finished.append(self._finish_recorded(req))
+                    break
+                if self._stop_matched(req):
+                    finished.append(self._finish_stopped(req))
+                    break
+        self.phase_times["host"] += _time.perf_counter() - _t2
         return finished
