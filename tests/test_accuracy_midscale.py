@@ -19,14 +19,22 @@ Measured (r3, CPU f32, seed 0):
     int8-kv     0          2.65e-2    1.014    0.844
     int8-wo+kv  2.31e-2    5.72e-2    1.113    0.698
 
-INT4 and FP8-weight modes are intentionally NOT gated at this scale:
-RANDOM weights at depth 8 lack the trained weight/activation structure that
-makes 16-level (int4) / e4m3 (3-mantissa-bit) quantization usable on real
-checkpoints — measured here they collapse (int4 ppl ratio 41x, fp8 1.94x)
-by honest noise accumulation, so a tight random-weight gate would assert
-nothing about the engine. They remain gated at golden scale, where their
-measured baselines were established and packing/scale-math regressions
-still blow through the margins.
+INT4 and FP8-weight modes get their own tier (r4): full width 1024 —
+where every packing/grouping/interleave count production hits lives
+(K=1024 -> 8 groups per int4 column, 8 fp8 interleave blocks) — at depth
+4, with trained-like structured weights (evaluate.structure_weights:
+low-rank energy concentration + log-normal per-channel scales with
+outliers). Depth 8 at random weights collapses these formats by honest
+noise accumulation (int4 ppl 41x r3; structure alone moved it only to
+24x — the missing ingredient is trained logit MARGINS, which no static
+weight transform supplies), so a depth-8 gate would pin a collapsed
+model and assert nothing. Depth 4 keeps the metrics in a responsive
+range (measured: fp8 ppl 1.286, int4 11.26 — int4's KL is near
+saturation even here, so its gate is a wide regression pin, not a
+quality bar). The DETERMINISTIC regression net for subtle packing/scale
+bugs is tests/test_quant_tensors.py's RTN contract tests at real 7B
+shapes: round-to-nearest guarantees err <= step/2 per element, and any
+layout/scale-pairing regression blows that bound by orders of magnitude.
 
 Run: TLLM_NIGHTLY=1 python -m pytest tests/test_accuracy_midscale.py -q
 (~20 min CPU; auto-skipped otherwise.)
@@ -55,6 +63,19 @@ pytestmark = [
 # ~0.15 (sq-static observed 1.238 and 1.393 on identical inputs). 2x the
 # observed envelope still catches the subtle degradations the 3-5x
 # golden-scale margins cannot.
+# int4/fp8 tier: hidden 1024 / 4 layers / structured weights (see module
+# docstring). Bounds = measured + 2x headroom on the excess over ideal
+# (measured r4: int4-g128 ppl 11.26 dkl 1.281 top1 0.146; fp8 ppl 1.286
+# dkl 0.127 top1 0.635; int8-wo ppl 1.026 dkl 0.014 top1 0.854).
+GATES_STRUCTURED = [
+    ("s-int8-wo", QuantMode.use_weight_only(False), 0,
+     1.06, 0.03, 0.70),
+    ("s-int4-g128", QuantMode.use_weight_only(True, per_group=True), 128,
+     22.0, 2.0, 0.05),
+    ("s-fp8", QuantMode.FP8_QDQ, 0,
+     1.60, 0.26, 0.45),
+]
+
 GATES = [
     ("int8-wo", QuantMode.use_weight_only(False), 0,
      4.7e-2, 6.2e-2, 1.13, 0.55),
@@ -82,6 +103,41 @@ def golden():
             cfg, params, name, qm, prompts, act_ranges=act_ranges,
             kv_scales=kv_scales, group_size=gs, cont_len=24, ref_run=ref)
     return rows
+
+
+@pytest.fixture(scope="module")
+def golden_structured():
+    from trtllm_llama_tpu.quantization.evaluate import structure_weights
+    cfg, params, _, _, _ = build_golden_setup(
+        hidden=1024, layers=4, heads=16, intermediate=2816, vocab=2048)
+    params = structure_weights(params)
+    prompts = np.random.default_rng(0).integers(3, 2048, (4, 48))
+    ref = reference_run(cfg, params, prompts, cont_len=24)
+    rows = {}
+    for name, qm, gs, *_ in GATES_STRUCTURED:
+        rows[name] = evaluate_quant_mode(
+            cfg, params, name, qm, prompts, group_size=gs, cont_len=24,
+            ref_run=ref)
+    return rows
+
+
+@pytest.mark.parametrize("name,qm,gs,max_ppl,max_kl,min_top1",
+                         GATES_STRUCTURED,
+                         ids=[g[0] for g in GATES_STRUCTURED])
+def test_midscale_structured_gate(golden_structured, name, qm, gs, max_ppl,
+                                  max_kl, min_top1):
+    row = golden_structured[name]
+    assert row["ppl_ratio"] <= max_ppl, row
+    assert row["decode_kl"] <= max_kl, row
+    assert row["decode_top1"] >= min_top1, row
+
+
+def test_midscale_structured_ordering(golden_structured):
+    """Format-quality ordering at width: int8 tighter than fp8 (3
+    mantissa bits) tighter than int4 (16 levels)."""
+    assert (golden_structured["s-int8-wo"]["decode_kl"]
+            < golden_structured["s-fp8"]["decode_kl"]
+            < golden_structured["s-int4-g128"]["decode_kl"])
 
 
 @pytest.mark.parametrize(

@@ -138,3 +138,58 @@ def test_quantize_lm_head_option():
     rel = np.abs(np.asarray(lq) - np.asarray(lo)).mean() / (
         np.abs(np.asarray(lo)).mean() + 1e-9)
     assert rel < 0.02, rel
+
+
+# ---------------------------------------------------------------------------
+# RTN contract at real-model shapes (the deterministic regression net for
+# packing/scale bugs that statistical model-output gates cannot pin:
+# round-to-nearest guarantees |W - dequant(quant(W))| <= step/2 per element,
+# with the step set by each element's OWN scale group/channel. Any layout
+# regression — a swapped nibble plane, an off-by-one group row, a
+# misapplied interleave — pairs values with the WRONG scale or wrong K row
+# and blows this bound by orders of magnitude. Shapes are LLaMA-7B's
+# projections so every pack block / group row / interleave block count that
+# production hits is exercised (K=4096 and the 11008-wide MLP).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k,n", [(4096, 4096), (4096, 11008), (11008, 4096)])
+def test_rtn_contract_int4_7b_shapes(k, n):
+    from trtllm_llama_tpu.quantization.tensors import quantize_weight_only
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+    wq = quantize_weight_only(jnp.asarray(w), w_bits=4, group_size=128)
+    step = np.asarray(wq.scale)                       # [K//128, N]
+    err = np.abs(np.asarray(wq.dequantize()) - w)
+    bound = np.repeat(step, 128, axis=0) * 0.5 + 1e-7
+    assert (err <= bound).all(), float((err / bound).max())
+
+
+@pytest.mark.parametrize("k,n", [(4096, 11008)])
+def test_rtn_contract_int8_7b_shapes(k, n):
+    from trtllm_llama_tpu.quantization.tensors import quantize_weight_only
+    rng = np.random.default_rng(1)
+    w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+    wq = quantize_weight_only(jnp.asarray(w), w_bits=8)
+    err = np.abs(np.asarray(wq.dequantize()) - w)
+    bound = np.asarray(wq.scale)[None, :] * 0.5 + 1e-7
+    assert (err <= bound).all(), float((err / bound).max())
+
+
+@pytest.mark.parametrize("k,n", [(4096, 4096), (4096, 11008)])
+def test_fp8_contract_7b_shapes(k, n):
+    """e4m3 with per-channel scale: relative error <= 2^-4 of each
+    element's binade for normals (3 mantissa bits + RTNE), except values
+    that land below the smallest normal code (flushed by the storage
+    contract, bounded by 2^-6 * scale), THROUGH the interleaved layout."""
+    from trtllm_llama_tpu.quantization.tensors import quantize_fp8_weight
+    rng = np.random.default_rng(2)
+    w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+    f8 = quantize_fp8_weight(jnp.asarray(w))
+    assert f8.interleave_block == 128
+    deq = np.asarray(f8.dequantize())
+    scale = np.asarray(f8.scale)[None, :]
+    err = np.abs(deq - w)
+    # normal codes: err <= |w| / 16 (half-ulp at 3 mantissa bits);
+    # flush region: |w| < 2^-6 * 1.0 * scale -> err <= that threshold
+    bound = np.maximum(np.abs(w) / 16.0, (2.0 ** -6) * scale) + 1e-9
+    assert (err <= bound).all(), float((err / bound).max())

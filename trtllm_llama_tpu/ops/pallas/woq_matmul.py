@@ -199,29 +199,37 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
     acc = None
     for c in range(n_chunks):
         if fp8 and fp8_fb:
-            # interleaved fp8 layout: per fb-block double-plant into two
-            # contiguous half-K planes, dot each against its x half
+            # interleaved fp8 layout: double-plant the WHOLE chunk into
+            # its even/odd planes in two large SWAR passes (per-block
+            # [fb/4, bn] ops measured 13% slower than chunk-wide ones),
+            # then dot per fb block — plane rows [b*fb/2, (b+1)*fb/2) are
+            # block b's contiguous logical K-halves
             fb = fp8_fb
             assert ck % fb == 0, (
                 f"fp8 K-chunk {ck} must be whole interleave blocks of "
                 f"{fb} (a K shard smaller than the block scrambles the "
                 "row permutation — see linear._fp8_shard_aligned)")
+            pe, po = _decode_fp8_planes(W(c * ck, (c + 1) * ck),
+                                        compute_dtype)
             part = None
+            h = fb // 2
             for b in range(ck // fb):
                 r0 = c * ck + b * fb
-                pe, po = _decode_fp8_planes(W(r0, r0 + fb), compute_dtype)
+                s0 = b * h
                 if bm > 64:
                     pj = jnp.dot(
                         x_ref[:, r0:r0 + fb].astype(compute_dtype),
-                        jnp.concatenate([pe, po], axis=0),
+                        jnp.concatenate([pe[s0:s0 + h, :],
+                                         po[s0:s0 + h, :]], axis=0),
                         preferred_element_type=jnp.float32)
                 else:
-                    h = fb // 2
                     pj = (jnp.dot(x_ref[:, r0:r0 + h].astype(compute_dtype),
-                                  pe, preferred_element_type=jnp.float32)
+                                  pe[s0:s0 + h, :],
+                                  preferred_element_type=jnp.float32)
                           + jnp.dot(
                               x_ref[:, r0 + h:r0 + fb].astype(compute_dtype),
-                              po, preferred_element_type=jnp.float32))
+                              po[s0:s0 + h, :],
+                              preferred_element_type=jnp.float32))
                 part = pj if part is None else part + pj
             acc = part if acc is None else acc + part
             continue
