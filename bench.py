@@ -415,7 +415,9 @@ def latency_bench(config_name: str):
     # instead of a fake ratio.
     table = (_BASELINE_TASK_A_TOKS_PER_S if in_len >= 512
              else _BASELINE_TOKS_PER_S)
-    vs = (None if in_len > 2048
+    # batched rows have NO reference counterpart either (Task A/B are bs1
+    # measurements); an aggregate/bs1 ratio would overstate by ~batch
+    vs = (None if in_len > 2048 or batch > 1
           else round(toks_per_s / table[config_name], 3))
     _emit({
         "metric": f"tokens/sec/chip (LLaMA-7B {config_name}, "
