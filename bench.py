@@ -8,7 +8,7 @@ tokens/s on the matching config (LLaMA-7B, weight-only INT8, bs 1) divided
 by that. Weights are random — decode throughput is weight-value independent.
 
 Env knobs:
-  BENCH_CONFIG   fp16 | int8 | int4 | int8kv | sq | fp8 | fp8kv  (default int8)
+  BENCH_CONFIG   fp16|int8|int4|int4pc|int8kv|sq|fp8|fp8kv  (default int8)
   BENCH_BATCH    batch size                           (default 1)
   BENCH_IN/OUT   prompt len / new tokens              (default 8 / 50)
 """
@@ -65,6 +65,10 @@ _BASELINE_TOKS_PER_S = {
     "fp16": 50 / 1.40416,    # TRT KV-cache+attn plugin FP16 -> 35.61
     "int8": 50 / 0.78494,    # weight-only INT8            -> 63.70
     "int4": 50 / 0.48769,    # weight-only INT4            -> 102.52
+    # the reference's int4 IS per-channel (thop symmetric_quantize, no
+    # grouping) — int4pc is the format-matched comparison row; the g128
+    # "int4" row carries grouped scales the reference lacks (accuracy)
+    "int4pc": 50 / 0.48769,
     "int8kv": 50 / 1.40520,  # INT8 KV cache               -> 35.58
     "sq": 50 / 0.78494,      # reference SQ never built; use INT8 row
     "fp8": 50 / 1.40416,     # reference FP8 was stubs; use FP16 row
@@ -80,6 +84,7 @@ _BASELINE_TASK_A_TOKS_PER_S = {
     "fp16": 2000 / 66.031,   # -> 30.29
     "int8": 2000 / 40.297,   # -> 49.63
     "int4": 2000 / 28.596,   # -> 69.94
+    "int4pc": 2000 / 28.596,
     "int8kv": 2000 / 66.319, # -> 30.16
     "sq": 2000 / 40.297,
     "fp8": 2000 / 66.031,
@@ -115,6 +120,7 @@ def build_engine(config_name: str, batch: int, max_len: int):
         "fp16": QuantMode(0),
         "int8": QuantMode.use_weight_only(False),
         "int4": QuantMode.use_weight_only(True, per_group=True),
+        "int4pc": QuantMode.use_weight_only(True),
         "int8kv": QuantMode.INT8_KV_CACHE,
         "sq": QuantMode.use_smooth_quant(per_token=True, per_channel=True),
         "fp8": QuantMode.FP8_QDQ,
@@ -166,6 +172,7 @@ def serving_bench(config_name: str):
     in_len, out_len = 128, 64
     qm = {"int8": QuantMode.use_weight_only(False),
           "int4": QuantMode.use_weight_only(True, per_group=True),
+        "int4pc": QuantMode.use_weight_only(True),
           "fp16": QuantMode(0)}[config_name]
     # BENCH_SPEC_KV=1 (speculative only): int8-KV caches for BOTH models.
     # Two 7B cache sets + the XLA loop-carry copies of each (the
@@ -320,6 +327,7 @@ def speculative_bench(config_name: str):
     draft_kind = os.environ.get("BENCH_DRAFT", "self")
     qm = {"int8": QuantMode.use_weight_only(False),
           "int4": QuantMode.use_weight_only(True, per_group=True),
+        "int4pc": QuantMode.use_weight_only(True),
           "fp16": QuantMode(0)}[config_name]
     group = 128 if config_name == "int4" else 0
     cfg = _model_cfg(quant_mode=qm, group_size=group)

@@ -642,3 +642,29 @@ def test_pipelined_rejects_paged_and_mixed(tiny_setup):
     for kw in (dict(paged=True), dict(mixed_step=True)):
         with pytest.raises(ValueError, match="pipelined"):
             ServingEngine(cfg, params, ecfg, pipelined=True, **kw)
+
+
+def test_latency_and_phase_stats(tiny_setup):
+    """Observability: TTFT/TPOT/E2E percentiles over completed requests +
+    per-phase step timers (the reference's benchmark harness reports
+    percentile latencies, benchmarks/gpt_benchmark.py:330-347)."""
+    cfg, params, ecfg = tiny_setup
+    eng = ServingEngine(cfg, params, ecfg,
+                        sampling=SamplingConfig(end_id=-1), decode_chunk=3)
+    rng = np.random.default_rng(11)
+    rids = [eng.submit(rng.integers(3, 250, (5,)).tolist(), 6)
+            for _ in range(3)]
+    eng.run_to_completion()
+    lat = eng.latency_stats()
+    assert lat["n_done"] == 3
+    for key in ("ttft_s", "e2e_s", "tpot_s"):
+        row = lat[key]
+        assert row["p50"] <= row["p90"] <= row["p99"]
+        assert row["p50"] >= 0.0
+    # TTFT (includes prefill) must not exceed end-to-end
+    assert lat["ttft_s"]["p99"] <= lat["e2e_s"]["p99"] + 1e-9
+    ph = eng.phase_stats()
+    assert ph["steps"] > 0
+    assert all(v >= 0.0 for k, v in ph.items() if k != "steps")
+    # decode happened, so the blocking chunk readback saw real time
+    assert ph["readback"] > 0.0
