@@ -172,7 +172,15 @@ def serving_bench(config_name: str):
     in_len, out_len = 128, 64
     qm = {"int8": QuantMode.use_weight_only(False),
           "int4": QuantMode.use_weight_only(True, per_group=True),
-        "int4pc": QuantMode.use_weight_only(True),
+          "int4pc": QuantMode.use_weight_only(True),
+          # 16+ dense slots do NOT fit with bf16 KV on one 16 GB chip
+          # (2 x [32,33,32,200,128] bf16 = 9.1 GB of cache + the XLA
+          # loop-carry copy + 6.7 GB weights); int8 KV is the scaling
+          # configuration, exactly like the speculative pairing below
+          "int8kv": (QuantMode.use_weight_only(False)
+                     | QuantMode.INT8_KV_CACHE),
+          "int4kv": (QuantMode.use_weight_only(True, per_group=True)
+                     | QuantMode.INT8_KV_CACHE),
           "fp16": QuantMode(0)}[config_name]
     # BENCH_SPEC_KV=1 (speculative only): int8-KV caches for BOTH models.
     # Two 7B cache sets + the XLA loop-carry copies of each (the
@@ -184,8 +192,10 @@ def serving_bench(config_name: str):
     if spec_kv and os.environ.get("BENCH_SPEC_DRAFT"):
         qm = qm | QuantMode.INT8_KV_CACHE
     cfg = _model_cfg(quant_mode=qm,
-                     group_size=128 if config_name == "int4" else 0)
+                     group_size=128 if config_name.startswith("int4") else 0)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm)
+    kv_scales_plain = (np.full((cfg.num_layers,), 0.05, np.float32)
+                       if qm.has_int8_kv_cache() else None)
     ecfg = EngineConfig(max_batch_size=slots, max_input_len=in_len,
                         max_seq_len=in_len + out_len + 8,
                         prefill_buckets=(in_len,))
@@ -238,6 +248,7 @@ def serving_bench(config_name: str):
         eng = ServingEngine(
             cfg, params, ecfg,
             sampling=SamplingConfig(end_id=-1),
+            kv_scales=kv_scales_plain,
             decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")),
             paged=paged,
             block_size=int(os.environ.get("BENCH_BLOCK", "64")),
@@ -265,8 +276,15 @@ def serving_bench(config_name: str):
         eng.run_to_completion()
         nb *= 2
 
-    reqs = [rng.integers(3, cfg.vocab_size, (in_len,)).tolist()
-            for _ in range(n_req)]
+    repetitive = bool(int(os.environ.get("BENCH_REPETITIVE", "0")))
+    if repetitive:
+        # prompts made of a repeated 16-token span: the extractive/
+        # repetitive regime where prompt-lookup proposals can hit
+        reqs = [(rng.integers(3, cfg.vocab_size, (16,)).tolist()
+                 * (-(-in_len // 16)))[:in_len] for _ in range(n_req)]
+    else:
+        reqs = [rng.integers(3, cfg.vocab_size, (in_len,)).tolist()
+                for _ in range(n_req)]
     # reset observability accumulators so the measured window excludes
     # warmup (engine-level stats exist on both engine types)
     if hasattr(eng, "phase_times"):
@@ -327,7 +345,15 @@ def speculative_bench(config_name: str):
     draft_kind = os.environ.get("BENCH_DRAFT", "self")
     qm = {"int8": QuantMode.use_weight_only(False),
           "int4": QuantMode.use_weight_only(True, per_group=True),
-        "int4pc": QuantMode.use_weight_only(True),
+          "int4pc": QuantMode.use_weight_only(True),
+          # 16+ dense slots do NOT fit with bf16 KV on one 16 GB chip
+          # (2 x [32,33,32,200,128] bf16 = 9.1 GB of cache + the XLA
+          # loop-carry copy + 6.7 GB weights); int8 KV is the scaling
+          # configuration, exactly like the speculative pairing below
+          "int8kv": (QuantMode.use_weight_only(False)
+                     | QuantMode.INT8_KV_CACHE),
+          "int4kv": (QuantMode.use_weight_only(True, per_group=True)
+                     | QuantMode.INT8_KV_CACHE),
           "fp16": QuantMode(0)}[config_name]
     group = 128 if config_name == "int4" else 0
     cfg = _model_cfg(quant_mode=qm, group_size=group)
