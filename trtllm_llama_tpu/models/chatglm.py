@@ -132,8 +132,8 @@ def _block(cfg: ModelConfig, lw, layer, x, pos0, pos1, caches: ChatGLMCache,
         # generation slab: rows sit past the context, so causal masking
         # over absolute positions preserves the prefix-LM contract (the
         # bidirectional region is entirely below every slab row)
+        attn = extend_attention_at(q, kv, layer, extend, k, v)
         kv = write_kv_extend_at(kv, layer, k, v, extend)
-        attn = extend_attention_at(q, kv, layer, extend)
     elif decode:
         attn, kv = fused_decode_attention_at(q, k, v, kv, layer, seq_lens)
     else:

@@ -201,9 +201,9 @@ class DecoderFamily:
             # multi-token generation slab at per-row offsets (chunked
             # prefill / speculative verification; llama forward_extend
             # semantics)
-            caches = write_kv_extend_at(caches, layer, k, v, extend)
-            attn = extend_attention_at(q, caches, layer, extend,
+            attn = extend_attention_at(q, caches, layer, extend, k, v,
                                        alibi=alibi)
+            caches = write_kv_extend_at(caches, layer, k, v, extend)
         elif decode:
             attn, caches = fused_decode_attention_at(
                 q, k, v, caches, layer, seq_lens, alibi=alibi)

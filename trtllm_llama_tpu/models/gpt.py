@@ -90,8 +90,8 @@ def _block(cfg, lw, layer, x, caches, seq_lens, decode, extend=None):
     v = _split_heads(dense(h, lw["wv"], layer=layer) + idx(lw["bv"]),
                      cfg.num_kv_heads, cfg.head_dim)
     if extend is not None:
+        attn = extend_attention_at(q, caches, layer, extend, k, v)
         caches = write_kv_extend_at(caches, layer, k, v, extend)
-        attn = extend_attention_at(q, caches, layer, extend)
     elif decode:
         attn, caches = fused_decode_attention_at(q, k, v, caches, layer,
                                                  seq_lens)

@@ -197,8 +197,8 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
     if extend is not None:
         # multi-token slab at offset positions (speculative verification):
         # x [B, T, D]; extend = start positions [B]
+        attn = extend_attention_at(q, caches, layer, extend, k, v)
         caches = write_kv_extend_at(caches, layer, k, v, extend)
-        attn = extend_attention_at(q, caches, layer, extend)
     elif packed is not None:
         # packed prefill: x [T, D]; q/k/v [T, H, D]
         caches = write_kv_packed_at(caches, layer, k, v, packed.slot_tok,

@@ -156,16 +156,24 @@ def write_kv_extend_at(cache: KVCache, layer, k, v, start) -> KVCache:
     return KVCache(kc, vc, cache.scale)
 
 
-def extend_attention_at(q, cache: KVCache, layer, start,
-                        scale: Optional[float] = None,
+def extend_attention_at(q, cache: KVCache, layer, start, k_new=None,
+                        v_new=None, scale: Optional[float] = None,
                         alibi: Optional[jnp.ndarray] = None):
     """Causal attention for a T-token slab against layer `layer`.
 
     q: [B, T, H_q, D]; row (b, i) sits at position start[b] + i and may
-    attend cache positions <= start[b] + i (its own K/V must already be
-    written — call write_kv_extend_at first). alibi: optional [H_q] slopes
+    attend cache positions <= start[b] + i. alibi: optional [H_q] slopes
     (key-position bias form — row-constant shifts cancel in softmax).
     Returns [B, T, H_q, D].
+
+    With k_new/v_new ([B, T, H_kv, D], rope applied) the cache is the
+    PRE-write buffer: rows strictly below start[b] come from the cache and
+    the T in-flight tokens attend each other from registers; the caller
+    scatters the slab with write_kv_extend_at AFTER this call. Attending
+    before writing breaks the read-after-traced-write hazard on the
+    scan-carried cache that otherwise forces XLA to copy it every layer
+    (measured: +2.6 ms per 32-layer 7B extend, scripts/probe_extend_parts
+    .py). Without k_new the slab must already be written (legacy order).
 
     This is the target-model verification step of speculative decoding: one
     forward over [last_committed, draft_1..draft_γ] replaces γ+1 sequential
@@ -185,11 +193,34 @@ def extend_attention_at(q, cache: KVCache, layer, start,
     if alibi is not None:
         logits = logits + (alibi.reshape(1, hq, 1, 1)
                            * cols.reshape(1, 1, 1, s_max))
-    mask = cols[None, None] <= rows[:, :, None]                  # [B, T, S]
-    logits = jnp.where(mask[:, None], logits, NEG_INF)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhts,bhsd->bthd", probs.astype(q.dtype), vt,
-                     preferred_element_type=jnp.float32)
+    if k_new is None:
+        mask = cols[None, None] <= rows[:, :, None]              # [B, T, S]
+        logits = jnp.where(mask[:, None], logits, NEG_INF)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhts,bhsd->bthd", probs.astype(q.dtype), vt,
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype)
+    # combined pre-write path: cache columns valid strictly below start[b]
+    mask_old = cols[None, None, None] < start[:, None, None, None]
+    logits = jnp.where(mask_old, logits, NEG_INF)
+    kn = _gqa_repeat(jnp.swapaxes(k_new, 1, 2).astype(q.dtype), hq // hkv)
+    vn = _gqa_repeat(jnp.swapaxes(v_new, 1, 2).astype(q.dtype), hq // hkv)
+    logits_n = jnp.einsum("bthd,bhud->bhtu", q, kn,
+                          preferred_element_type=jnp.float32) * scale
+    if alibi is not None:
+        # in-flight token u sits at key position start[b] + u
+        pos_n = start[:, None] + jnp.arange(t)[None]             # [B, T]
+        logits_n = logits_n + (alibi.reshape(1, hq, 1, 1)
+                               * pos_n[:, None, None, :])
+    causal = jnp.arange(t)[:, None] >= jnp.arange(t)[None]      # [T, T]
+    logits_n = jnp.where(causal[None, None], logits_n, NEG_INF)
+    joint = jnp.concatenate([logits, logits_n], axis=-1)        # [B,H,T,S+T]
+    probs = jax.nn.softmax(joint.astype(jnp.float32), axis=-1)
+    p_old, p_new = probs[..., :s_max], probs[..., s_max:]
+    out = (jnp.einsum("bhts,bhsd->bthd", p_old.astype(q.dtype), vt,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhtu,bhud->bthd", p_new.astype(q.dtype), vn,
+                        preferred_element_type=jnp.float32))
     return out.astype(q.dtype)
 
 
