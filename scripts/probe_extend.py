@@ -26,7 +26,7 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
-    from trtllm_llama_tpu.config import EngineConfig, ModelConfig
+    from trtllm_llama_tpu.config import ModelConfig
     from trtllm_llama_tpu.quantization.mode import QuantMode
     from trtllm_llama_tpu.quantization.quantize import (
         init_random_quantized_params,
@@ -38,7 +38,6 @@ def main():
                       intermediate_size=11008, num_layers=32, num_heads=32,
                       num_kv_heads=32, head_dim=128, quant_mode=qm)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm)
-    pass
     params = llama.fuse_gate_up_params(llama.fuse_qkv_params(params))
     bs, smax, gamma = 8, 200, 4
     caches = llama.init_caches(cfg, bs, smax)

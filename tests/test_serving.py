@@ -668,3 +668,39 @@ def test_latency_and_phase_stats(tiny_setup):
     assert all(v >= 0.0 for k, v in ph.items() if k != "steps")
     # decode happened, so the blocking chunk readback saw real time
     assert ph["readback"] > 0.0
+
+
+def test_capacity_precheck_fails_fast(tiny_setup, monkeypatch):
+    """A configuration whose estimated footprint exceeds the device budget
+    must raise at construction with the remedies, not RESOURCE_EXHAUSTED
+    mid-run (r4: 16/32-slot dense int8 7B died inside a decode dispatch,
+    scripts/measure_r4.err)."""
+    cfg, params, ecfg = tiny_setup
+    monkeypatch.setenv("TLLM_HBM_BYTES", "100000")   # ~100 KB budget
+    with pytest.raises(ValueError, match="int8 KV"):
+        ServingEngine(cfg, params, ecfg, sampling=SamplingConfig(end_id=-1))
+    # remedies lower the estimate: same budget, env override clears it
+    monkeypatch.setenv("TLLM_SKIP_CAPACITY_CHECK", "1")
+    ServingEngine(cfg, params, ecfg, sampling=SamplingConfig(end_id=-1))
+
+
+def test_capacity_precheck_estimate_monotone(tiny_setup):
+    """The advertised remedies must actually lower the estimate: int8 KV
+    halves the KV-pool term, and the pool term scales with max_seq_len."""
+    import dataclasses
+    from trtllm_llama_tpu.quantization.mode import QuantMode
+    cfg, params, ecfg = tiny_setup
+    eng = ServingEngine(cfg, params, ecfg,
+                        sampling=SamplingConfig(end_id=-1))
+    base = eng._capacity_estimate(cfg, ecfg, 0, False, 64, None)
+    cfg8 = dataclasses.replace(
+        cfg, quant_mode=cfg.quant_mode | QuantMode.INT8_KV_CACHE)
+    kv8 = eng._capacity_estimate(cfg8, ecfg, 0, False, 64, None)
+    assert kv8["kv"] < base["kv"] and kv8["need"] < base["need"]
+    big = dataclasses.replace(ecfg, max_seq_len=ecfg.max_seq_len * 16)
+    grown = eng._capacity_estimate(cfg, big, 0, False, 64, None)
+    assert grown["kv"] > base["kv"]
+    # weights term is the actual parameter bytes
+    total = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.tree.leaves(eng.params))
+    assert base["weights"] == total

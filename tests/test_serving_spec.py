@@ -65,9 +65,9 @@ def test_spec_serving_self_draft_and_streaming_arrivals(setup):
     eng = SpeculativeServingEngine(CFG, params, CFG, params, ECFG,
                                    gamma=4, sampling=SCFG, decode_chunk=5)
     r1 = eng.submit(p1, 8)
-    eng.step()
+    done = {fr.request_id: fr for fr in eng.step()}
     r2 = eng.submit(p2, 6)                 # joins mid-flight
-    done = eng.run_to_completion()
+    done.update(eng.run_to_completion())
     assert done[r1].output_ids == ref[0].output_ids
     assert done[r2].output_ids == ref[1].output_ids
 
@@ -246,9 +246,9 @@ def test_prompt_lookup_serving_matches_plain(setup):
     eng = PromptLookupServingEngine(CFG, params, ECFG, gamma=3, ngram=2,
                                     sampling=SCFG, decode_chunk=4)
     rids = [eng.submit(p, n) for p, n in zip(prompts[:2], new_tokens[:2])]
-    eng.step()
+    done = {fr.request_id: fr for fr in eng.step()}
     rids += [eng.submit(p, n) for p, n in zip(prompts[2:], new_tokens[2:])]
-    done = eng.run_to_completion()
+    done.update(eng.run_to_completion())
     for rid, want in zip(rids, ref):
         assert done[rid].output_ids == want.output_ids, (
             rid, done[rid].output_ids, want.output_ids)
@@ -256,22 +256,55 @@ def test_prompt_lookup_serving_matches_plain(setup):
 
 
 def test_prompt_lookup_serving_accepts_on_repetition(setup):
-    """A strictly periodic prompt makes the model's own continuation
-    likely-periodic; at minimum the engine must stay exact AND finish in
-    fewer decode iterations than tokens (i.e. some proposals accepted).
-    Exactness is the hard bar; acceptance is asserted via step count."""
+    """Provable acceptance: on a copy-capable model (make_copy_params — the
+    greedy continuation IS the periodic cycle), the engine must (a) stay
+    exactly equal to the plain engine's stream and (b) commit strictly more
+    tokens than it ran verify iterations — i.e. at least one multi-token
+    (n > 0) commit flowed through _pl_decode_fn's slab/EOS/history
+    bookkeeping. Random weights can't test (b): the model never copies, so
+    acceptance stays ~0 regardless of the proposal machinery."""
+    from trtllm_llama_tpu.quantization.evaluate import make_copy_params
     from trtllm_llama_tpu.runtime.serving_spec import (
         PromptLookupServingEngine,
     )
     params, _ = setup
-    span = [11, 23, 5, 42]
-    prompt = (span * 4)[:14]           # periodic prompt
-    ref = _ref_outputs(params, [prompt], [10])[0]
-    eng = PromptLookupServingEngine(CFG, params, ECFG, gamma=4, ngram=2,
+    cycle = [11, 23, 5, 42]
+    cparams = make_copy_params(CFG, params, cycle)
+    prompt = cycle * 3                 # periodic prompt, in-cycle tokens
+    ref = _ref_outputs(cparams, [prompt], [10])[0]
+    # sanity: the copy model really does continue the cycle
+    want = [cycle[(prompt.index(prompt[-1]) + 1 + i) % len(cycle)]
+            for i in range(10)]
+    assert ref.output_ids == want, (ref.output_ids, want)
+    eng = PromptLookupServingEngine(CFG, cparams, ECFG, gamma=4, ngram=2,
                                     sampling=SCFG, decode_chunk=10)
     rid = eng.submit(prompt, 10)
     done = eng.run_to_completion()
     assert done[rid].output_ids == ref.output_ids
+    assert eng.spec_committed > eng.spec_iters, (
+        "no multi-token commit happened", eng.spec_committed, eng.spec_iters)
+
+
+def test_prompt_lookup_zero_acceptance_budget(setup):
+    """Weight-read budgeting: on a NON-copying model (random weights) a
+    chunk must still commit ~1 token per iteration per active slot — the
+    r4 regression was committing only ceil(chunk/(gamma+1)) iterations'
+    worth per chunk. Committed tokens must be >= iterations run (bonus
+    token every iteration), and the stream stays exact."""
+    from trtllm_llama_tpu.runtime.serving_spec import (
+        PromptLookupServingEngine,
+    )
+    params, _ = setup
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 250, (7,)).tolist()
+    ref = _ref_outputs(params, [prompt], [9])[0]
+    eng = PromptLookupServingEngine(CFG, params, ECFG, gamma=4, ngram=2,
+                                    sampling=SCFG, decode_chunk=9)
+    rid = eng.submit(prompt, 9)
+    done = eng.run_to_completion()
+    assert done[rid].output_ids == ref.output_ids
+    assert eng.spec_iters > 0
+    assert eng.spec_committed >= eng.spec_iters
 
 
 def test_prompt_lookup_serving_rejects_stochastic():

@@ -200,11 +200,18 @@ def extend_attention_at(q, cache: KVCache, layer, start, k_new=None,
         out = jnp.einsum("bhts,bhsd->bthd", probs.astype(q.dtype), vt,
                          preferred_element_type=jnp.float32)
         return out.astype(q.dtype)
-    # combined pre-write path: cache columns valid strictly below start[b]
+    # combined pre-write path: cache columns valid strictly below start[b].
+    # The in-flight slab is round-tripped through the cache codec
+    # (_quant_kv/_dequant_kv) so verify-step logits are BIT-consistent with
+    # the decode logits that will read the same positions post-commit —
+    # attending the slab at full precision could flip greedy acceptance at
+    # rare argmax-tie boundaries under int8/fp8 KV.
     mask_old = cols[None, None, None] < start[:, None, None, None]
     logits = jnp.where(mask_old, logits, NEG_INF)
-    kn = _gqa_repeat(jnp.swapaxes(k_new, 1, 2).astype(q.dtype), hq // hkv)
-    vn = _gqa_repeat(jnp.swapaxes(v_new, 1, 2).astype(q.dtype), hq // hkv)
+    kn = _gqa_repeat(_dequant_kv(_quant_kv(jnp.swapaxes(k_new, 1, 2), lc),
+                                 lc, q.dtype), hq // hkv)
+    vn = _gqa_repeat(_dequant_kv(_quant_kv(jnp.swapaxes(v_new, 1, 2), lc),
+                                 lc, q.dtype), hq // hkv)
     logits_n = jnp.einsum("bthd,bhud->bhtu", q, kn,
                           preferred_element_type=jnp.float32) * scale
     if alibi is not None:

@@ -229,3 +229,50 @@ def structure_weights(params, rank: int = 32, rho: float = 0.6,
         out_layers[name] = (mixed * norm0 / jnp.maximum(norm1, 1e-9)
                             ).astype(w.dtype)
     return {**params, "layers": out_layers}
+
+
+def make_copy_params(cfg: ModelConfig, params, cycle, gain: float = 4.0):
+    """Teacher-forced COPY model: a workload on which speculative
+    prompt-lookup can actually accept.
+
+    Random-init weights never copy (greedy continuations are not periodic
+    even for periodic prompts), so prompt-lookup acceptance was previously
+    untestable end-to-end (VERDICT r4). This transform keeps the model's
+    full weight footprint and compute — every projection is still read
+    from HBM and dotted at its real size — but zeroes the OUTPUT side of
+    each residual block (wo / w_down: quantized containers get zero
+    dequant scales, plain arrays are zeroed), so the residual stream is
+    exactly the token embedding. The lm_head is rebuilt so greedy decode
+    emits the successor permutation over `cycle`:
+
+        lm_head[:, cycle[i+1 mod len]] = embed[cycle[i]] * gain
+
+    With ~orthogonal gaussian embedding rows, argmax(rms_norm(embed[t])
+    @ lm_head) == succ(t) with margin ~sqrt(D); a prompt that repeats the
+    cycle makes the model's continuation periodic, n-gram lookup proposes
+    it, and acceptance is ~full. Works for fp32/bf16 and every quantized
+    container (the bench uses it at 7B int8 so the copy workload carries
+    the real memory traffic).
+    """
+    import dataclasses
+    from .tensors import FP8Weight, SQWeight, WOQWeight
+
+    def zero_out(w):
+        if isinstance(w, WOQWeight):
+            return dataclasses.replace(w, scale=jnp.zeros_like(w.scale))
+        if isinstance(w, SQWeight):
+            return dataclasses.replace(w, scale_w=jnp.zeros_like(w.scale_w))
+        if isinstance(w, FP8Weight):
+            return dataclasses.replace(w, scale=jnp.zeros_like(w.scale))
+        return jnp.zeros_like(w)
+
+    layers = dict(params["layers"])
+    for name in ("wo", "w_down"):
+        layers[name] = zero_out(layers[name])
+    emb = np.asarray(params["embed"], np.float32)
+    lm = np.zeros((cfg.hidden_size, cfg.vocab_size), np.float32)
+    for i, t in enumerate(cycle):
+        nxt = cycle[(i + 1) % len(cycle)]
+        lm[:, nxt] = emb[t] * gain
+    return {**params, "layers": layers,
+            "lm_head": jnp.asarray(lm).astype(params["embed"].dtype)}

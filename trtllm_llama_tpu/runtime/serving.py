@@ -229,6 +229,9 @@ class ServingEngine:
             from ..ops.linear import enable_pallas_kernels
             enable_pallas_kernels(True)
 
+        self._capacity_precheck(cfg, engine_cfg, cache_headroom, paged,
+                                block_size, num_blocks)
+
         if paged:
             from ..ops.paged_attention import init_paged_caches
             from .kv_cache_manager import KVCacheManager
@@ -324,6 +327,90 @@ class ServingEngine:
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    # ------------------------------------------------------------------
+    def _capacity_precheck(self, cfg, engine_cfg, cache_headroom, paged,
+                           block_size, num_blocks):
+        """Fail fast (with remedies) instead of a mid-run RESOURCE_EXHAUSTED.
+
+        The engine knows every device shape at construction; r4's serving
+        matrix instead died deep inside a decode dispatch / admission
+        readback (scripts/measure_r4.err, 16/32-slot dense int8 7B). The
+        estimate: weights + 2x the KV pool (the scan-carried cache costs an
+        XLA loop-carry copy alongside the donated buffer in the worst
+        phase) + prefill transients, against the device budget.
+
+        Budget source: `TLLM_HBM_BYTES` env when set; else 16 GiB on TPU
+        backends (v5e); CPU runs are unchecked (tests). Sharded engines
+        (mesh) are skipped — per-device footprints divide by the axis
+        sizes and the multihost path has its own placement. Escape hatch:
+        TLLM_SKIP_CAPACITY_CHECK=1.
+        """
+        if self.mesh is not None or os.environ.get(
+                "TLLM_SKIP_CAPACITY_CHECK"):
+            return
+        budget = os.environ.get("TLLM_HBM_BYTES")
+        if budget is None:
+            if jax.default_backend() == "cpu":
+                return
+            budget = 16 * 1024 ** 3
+        budget = int(budget)
+        est = self._capacity_estimate(cfg, engine_cfg, cache_headroom,
+                                      paged, block_size, num_blocks)
+        weights, kv = est["weights"], est["kv"]
+        act, scratch, logits = est["act"], est["scratch"], est["logits"]
+        need = est["need"]
+        if need > budget:
+            gib = 1024 ** 3
+            raise ValueError(
+                f"serving configuration needs ~{need / gib:.1f} GiB "
+                f"(weights {weights / gib:.1f} + 2x KV pool "
+                f"{2 * kv / gib:.1f} + transients "
+                f"{(act + scratch + logits) / gib:.1f}) but the device "
+                f"budget is {budget / gib:.1f} GiB. Remedies: int8 KV "
+                "(QuantMode.INT8_KV_CACHE) halves the KV pool; "
+                "paged=True sizes the pool by blocks instead of "
+                "max_batch_size*max_seq_len; or lower max_batch_size/"
+                "max_seq_len. Override: TLLM_HBM_BYTES / "
+                "TLLM_SKIP_CAPACITY_CHECK=1.")
+
+    def _capacity_estimate(self, cfg, engine_cfg, cache_headroom, paged,
+                           block_size, num_blocks) -> dict:
+        """Byte estimate behind _capacity_precheck (own method so tests can
+        assert the model: weights + 2x KV pool + admission transients)."""
+        def tree_bytes(t):
+            return sum(int(np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize
+                       for a in jax.tree.leaves(t))
+
+        weights = tree_bytes(self.params)
+        smax = engine_cfg.max_seq_len + cache_headroom
+        if paged:
+            nb = (num_blocks if num_blocks is not None
+                  else self.max_slots * (-(-engine_cfg.max_seq_len
+                                           // block_size)))
+            kv_rows = (nb + 1) * block_size
+        else:
+            kv_rows = self.n_rows * (-(-smax // 128) * 128)
+        from ..config import str_dtype_to_jnp
+        kv_item = jnp.dtype(str_dtype_to_jnp(cfg.kv_dtype)).itemsize
+        kv = (2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+              * kv_rows * kv_item)
+        # admission transient: the largest prefill group's activations
+        # (~6 residual-width + 4 intermediate-width live tensors per token)
+        # plus its scratch cache, plus decode logits
+        bucket = max(getattr(engine_cfg, "prefill_buckets", None)
+                     or (engine_cfg.max_input_len,))
+        nb_adm = 1
+        while nb_adm * 2 <= self.max_slots:
+            nb_adm *= 2
+        act = nb_adm * bucket * (6 * cfg.hidden_size
+                                 + 4 * cfg.intermediate_size) * 2
+        scratch = (2 * cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+                   * nb_adm * bucket * kv_item)
+        logits = self.n_rows * cfg.vocab_size * 4 * 2
+        return {"weights": weights, "kv": kv, "act": act,
+                "scratch": scratch, "logits": logits,
+                "need": weights + 2 * kv + act + scratch + logits}
 
     # ------------------------------------------------------------------
     def _dev(self, x):

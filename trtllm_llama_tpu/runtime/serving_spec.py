@@ -94,6 +94,10 @@ class SpeculativeServingEngine(ServingEngine):
         self.slot_draft_pos = jnp.zeros((self.n_rows,), jnp.int32)
         self.slot_spec_tail = jnp.full((self.n_rows, self.gamma + 2),
                                   scfg.pad_id, jnp.int32)
+        # acceptance accounting: committed tokens vs verify iterations run
+        # (committed > iters  <=>  at least one multi-token commit)
+        self.spec_iters = 0
+        self.spec_committed = 0
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -347,11 +351,25 @@ class SpeculativeServingEngine(ServingEngine):
 
             st = (caches_t, caches_d, tail, lens, active, gen, draft_pos,
                   out, out_lp, written)
-            st = jax.lax.fori_loop(0, n_iters, body, st)
+
+            # weight-read budget with early exit: run at most n_iters
+            # verify iterations (one target weight read each), stopping as
+            # soon as every slot is done — acceptance shortens the loop
+            # instead of lengthening the commit (see _decode_phase).
+            def cond(carry):
+                it, s = carry
+                return (it < n_iters) & jnp.any(s[4])
+
+            def wbody(carry):
+                it, s = carry
+                return it + 1, body(it, s)
+
+            it_done, st = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), st))
             (caches_t, caches_d, tail, lens, active, gen, draft_pos,
              out, out_lp, written) = st
             return (caches_t, caches_d, tail, lens, active, gen, draft_pos,
-                    out, out_lp, written)
+                    out, out_lp, written, it_done)
 
         return jax.jit(fn, donate_argnums=(2, 3))
 
@@ -363,20 +381,31 @@ class SpeculativeServingEngine(ServingEngine):
         chunk = min(self.decode_chunk, remaining)
         if chunk <= 0:
             return finished
-        n_iters = -(-chunk // (self.gamma + 1))
+        # Budget by TARGET WEIGHT READS, not by assumed-full acceptance:
+        # n_iters = chunk verify iterations, each committing >=1 token per
+        # active slot, with an in-graph early exit once every slot is done.
+        # The r4 budget ceil(chunk/(gamma+1)) assumed every proposal lands;
+        # at ~0 acceptance each engine step then committed ~n_iters tokens
+        # instead of ~chunk, multiplying per-step dispatch/readback overhead
+        # per token by gamma+1 (measured 111.8 vs 405.7 tok/s plain,
+        # scripts/measure_r4.jsonl). With read-budgeting the zero-acceptance
+        # case degrades to ~plain throughput and acceptance is pure upside.
+        n_iters = chunk
         slot_of = {r.slot: r for r in decoding}
         fn = self._get(("spec_decode", n_iters), self._spec_decode_fn,
                        n_iters)
         (self.caches, self.draft_caches, self.slot_spec_tail, self.slot_lens,
          self.slot_active, self.slot_gen, self.slot_draft_pos, out, out_lp,
-         k_tot) = fn(
+         k_tot, it_done) = fn(
             self.params, self.draft_params, self.caches, self.draft_caches,
             self.slot_spec_tail, self.slot_lens, self.slot_active, self.slot_gen,
             self.slot_budget, self.slot_draft_pos, self._next_key(),
             self.slot_params if self.per_request else 0)
         self.slot_tokens = self.slot_spec_tail[:, -1]
-        out, out_lp, k_tot = self._read_many(
-            out, out_lp if self.return_logprobs else None, k_tot)
+        out, out_lp, k_tot, it_done = self._read_many(
+            out, out_lp if self.return_logprobs else None, k_tot, it_done)
+        self.spec_iters += int(it_done)
+        self.spec_committed += int(np.sum(k_tot))
 
         for slot, req in slot_of.items():
             for j in range(int(k_tot[slot])):
@@ -409,11 +438,19 @@ class PromptLookupServingEngine(ServingEngine):
     from the scheduler (the source of truth) at each chunk dispatch and
     updated in-graph within the chunk. Greedy-only (an n-gram proposal has
     no q distribution); output is bit-identical to the plain engine's
-    greedy stream. On non-repetitive text every iteration still commits
-    the bonus token, so tokens-per-target-read never drops below vanilla
-    decode — this is the only speculative mode that needs no well-matched
-    small checkpoint to win (measured: draft-model speculative serving
-    REDUCES aggregate throughput without one, scripts/bench_history.jsonl).
+    greedy stream.
+
+    Cost model (r5): the decode chunk is budgeted by TARGET WEIGHT READS —
+    n_iters = chunk verify iterations with an in-graph early exit — so at
+    zero acceptance each chunk commits >= chunk tokens per active slot at
+    ~the plain engine's read count, and acceptance only shortens the loop.
+    (The r4 budget ceil(chunk/(gamma+1)) assumed full acceptance and lost
+    2-4x wall-clock on non-copying workloads: 111.8 vs 405.7 tok/s plain,
+    scripts/measure_r4.jsonl.) Per weight-read, tokens committed never
+    drop below vanilla decode; per wall-clock second a verify extend costs
+    slightly more than a plain decode dispatch, so expect ~parity on
+    non-repetitive text and a win only when the model actually copies
+    (acceptance > 0) — measured rows in docs/serving.md.
     """
 
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
@@ -435,6 +472,9 @@ class PromptLookupServingEngine(ServingEngine):
         self.gamma = int(gamma)
         self.ngram = int(ngram)
         self.t_hist = int(engine_cfg.max_seq_len)
+        # acceptance accounting: committed tokens vs verify iterations run
+        self.spec_iters = 0
+        self.spec_committed = 0
 
     # ------------------------------------------------------------------
     def _pl_decode_fn(self, n_iters: int):
@@ -519,12 +559,24 @@ class PromptLookupServingEngine(ServingEngine):
                         written)
 
             st = (caches, hist, lens, active, gen, out, out_lp, written)
-            st = jax.lax.fori_loop(0, n_iters, body, st)
+
+            # weight-read budget + early exit (see _decode_phase): at most
+            # n_iters target reads, stop when every slot is finished.
+            def cond(carry):
+                it, s = carry
+                return (it < n_iters) & jnp.any(s[3])
+
+            def wbody(carry):
+                it, s = carry
+                return it + 1, body(it, s)
+
+            it_done, st = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), st))
             caches, hist, lens, active, gen, out, out_lp, written = st
             last_tok = jnp.take_along_axis(
                 hist, jnp.clip(lens, 0, t_hist - 1)[:, None], 1)[:, 0]
             return (caches, lens, active, gen, out, out_lp, written,
-                    last_tok)
+                    last_tok, it_done)
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -536,7 +588,11 @@ class PromptLookupServingEngine(ServingEngine):
         chunk = min(self.decode_chunk, remaining)
         if chunk <= 0:
             return finished
-        n_iters = -(-chunk // (self.gamma + 1))
+        # Budget by target weight reads (n_iters = chunk, early exit), NOT
+        # by assumed-full acceptance — see SpeculativeServingEngine.
+        # _decode_phase for the full rationale and the r4 measured loss the
+        # old ceil(chunk/(gamma+1)) budget caused.
+        n_iters = chunk
         slot_of = {r.slot: r for r in decoding}
         import time as _time
         _t0 = _time.perf_counter()
@@ -550,14 +606,16 @@ class PromptLookupServingEngine(ServingEngine):
             hist[slot, :len(toks)] = toks[:self.t_hist]
         fn = self._get(("pl_decode", n_iters), self._pl_decode_fn, n_iters)
         (self.caches, self.slot_lens, self.slot_active, self.slot_gen,
-         out, out_lp, k_tot, last_tok) = fn(
+         out, out_lp, k_tot, last_tok, it_done) = fn(
             self.params, self.caches, self._dev(hist), self.slot_lens,
             self.slot_active, self.slot_gen, self.slot_budget)
         self.slot_tokens = last_tok
         _t1 = _time.perf_counter()
         self.phase_times["dispatch"] += _t1 - _t0
-        out, out_lp, k_tot = self._read_many(
-            out, out_lp if self.return_logprobs else None, k_tot)
+        out, out_lp, k_tot, it_done = self._read_many(
+            out, out_lp if self.return_logprobs else None, k_tot, it_done)
+        self.spec_iters += int(it_done)
+        self.spec_committed += int(np.sum(k_tot))
         _t2 = _time.perf_counter()
         self.phase_times["readback"] += _t2 - _t1
 
