@@ -194,6 +194,18 @@ def serving_bench(config_name: str):
     cfg = _model_cfg(quant_mode=qm,
                      group_size=128 if config_name.startswith("int4") else 0)
     params = init_random_quantized_params(cfg, jax.random.PRNGKey(0), qm)
+    # BENCH_COPY=1: teacher-forced copy workload (make_copy_params) — the
+    # model's greedy continuation IS the prompt's periodic cycle, so
+    # prompt-lookup acceptance is ~full while weight traffic and compute
+    # stay at the real model's size. The honest upper bound companion to
+    # the repetitive-but-non-copying workload (acceptance ~0).
+    copy_model = bool(int(os.environ.get("BENCH_COPY", "0")))
+    cycle = None
+    if copy_model:
+        from trtllm_llama_tpu.quantization.evaluate import make_copy_params
+        cycle = np.random.default_rng(42).integers(
+            3, cfg.vocab_size, (16,)).tolist()
+        params = make_copy_params(cfg, params, cycle)
     kv_scales_plain = (np.full((cfg.num_layers,), 0.05, np.float32)
                        if qm.has_int8_kv_cache() else None)
     ecfg = EngineConfig(max_batch_size=slots, max_input_len=in_len,
@@ -277,7 +289,11 @@ def serving_bench(config_name: str):
         nb *= 2
 
     repetitive = bool(int(os.environ.get("BENCH_REPETITIVE", "0")))
-    if repetitive:
+    if copy_model:
+        # every prompt repeats the copy cycle; the model continues it
+        reqs = [(cycle * (-(-in_len // len(cycle))))[:in_len]
+                for _ in range(n_req)]
+    elif repetitive:
         # prompts made of a repeated 16-token span: the extractive/
         # repetitive regime where prompt-lookup proposals can hit
         reqs = [(rng.integers(3, cfg.vocab_size, (16,)).tolist()
@@ -285,22 +301,36 @@ def serving_bench(config_name: str):
     else:
         reqs = [rng.integers(3, cfg.vocab_size, (in_len,)).tolist()
                 for _ in range(n_req)]
-    # reset observability accumulators so the measured window excludes
-    # warmup (engine-level stats exist on both engine types)
-    if hasattr(eng, "phase_times"):
-        for k in eng.phase_times:
-            eng.phase_times[k] = 0 if k == "steps" else 0.0
-        eng._req_times.clear()
-    t0 = time.perf_counter()
-    for r in reqs:
-        eng.submit(r, out_len)
-    done = eng.run_to_completion()
-    dt = time.perf_counter() - t0
-    total_tokens = sum(len(d.output_ids) for d in done.values())
-    extra = {}
-    if hasattr(eng, "latency_stats"):
-        extra = {"latency": eng.latency_stats(),
-                 "phases_ms_per_step": eng.phase_stats()}
+    # BENCH_REPEATS independent sweeps (median reported, all samples
+    # recorded — see latency_bench's repeats note); observability
+    # accumulators reset per sweep so each latency/phase report covers
+    # exactly its own measured window
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    samples, stats = [], []
+    for _ in range(repeats):
+        if hasattr(eng, "phase_times"):
+            for k in eng.phase_times:
+                eng.phase_times[k] = 0 if k == "steps" else 0.0
+            eng._req_times.clear()
+        if hasattr(eng, "spec_iters"):      # acceptance over the last sweep
+            eng.spec_iters = eng.spec_committed = 0
+        t0 = time.perf_counter()
+        for r in reqs:
+            eng.submit(r, out_len)
+        done = eng.run_to_completion()
+        dt = time.perf_counter() - t0
+        total_tokens = sum(len(d.output_ids) for d in done.values())
+        samples.append(round(total_tokens / dt, 2))
+        stats.append({"latency": eng.latency_stats(),
+                      "phases_ms_per_step": eng.phase_stats()}
+                     if hasattr(eng, "latency_stats") else {})
+    med_i = int(np.argsort(samples)[len(samples) // 2])
+    extra = dict(stats[med_i])
+    extra["n"] = repeats
+    extra["samples"] = samples
+    if getattr(eng, "spec_iters", 0):
+        extra["spec"] = {"iters": eng.spec_iters,
+                         "committed": eng.spec_committed}
     _emit({
         "metric": f"serving throughput (LLaMA-7B {config_name}, "
                   f"{slots} slots, {n_req} reqs, in{in_len} out{out_len}"
@@ -313,8 +343,9 @@ def serving_bench(config_name: str):
                   + (", pipelined" if pipelined else "")
                   + (f", spec-{spec_draft}" if spec_draft else "")
                   + (", int8kv" if spec_draft and spec_kv else "")
-                  + (", repetitive" if repetitive else "") + ")",
-        "value": round(total_tokens / dt, 2),
+                  + (", repetitive" if repetitive else "")
+                  + (", copy" if copy_model else "") + ")",
+        "value": float(np.median(samples)),
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching
         **extra,
@@ -432,13 +463,21 @@ def latency_bench(config_name: str):
             time.sleep(5.0)
             cfg, sess = build_engine(config_name, batch,
                                      max_len=in_len + out_len + 16)
-    # timed runs
+    # timed runs: BENCH_REPEATS independent measurements (each averaging
+    # n_runs generates), median reported with all samples recorded — the
+    # ±5% tunnel variance is larger than most round-over-round deltas, so
+    # single-shot rows made comparisons noise-dominated (VERDICT r4 weak
+    # #5: a slow-window capture understated the build by ~9%)
     n_runs = 3
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
-        one_run()
-    dt = (time.perf_counter() - t0) / n_runs
-    toks_per_s = batch * out_len / dt
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_runs):
+            one_run()
+        dt = (time.perf_counter() - t0) / n_runs
+        samples.append(round(batch * out_len / dt, 2))
+    toks_per_s = float(np.median(samples))
 
     # long-input shapes compare against the reference's Task-A (summarize)
     # rates, which include prefill the same way this measurement does.
@@ -459,6 +498,8 @@ def latency_bench(config_name: str):
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": vs,
+        "n": repeats,
+        "samples": samples,
     })
 
 

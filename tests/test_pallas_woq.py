@@ -130,3 +130,92 @@ def test_fp8_matmul_stacked():
         y = fp8_matmul_stacked(jnp.asarray(x), f8, layer, interpret=True)
         np.testing.assert_allclose(np.asarray(y), x @ deq[layer],
                                    atol=3e-2, rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Decode fusion: norm / swiglu prologue + residual epilogue in-kernel (r5)
+# ---------------------------------------------------------------------------
+
+def _rms_ref(x, nw, eps=1e-6):
+    xf = x.astype(np.float64).astype(np.float32)
+    var = np.mean(xf * xf, axis=-1, keepdims=True)
+    return xf / np.sqrt(var + eps) * nw
+
+
+@pytest.mark.parametrize("w_bits,group_size", [(8, 0), (4, 128)])
+def test_woq_stacked_fused_norm(w_bits, group_size):
+    """norm_w prologue == rms_norm then matmul (the dense_fused contract)."""
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import woq_matmul_stacked
+    rng = np.random.default_rng(5)
+    l, k, n, m = 2, 256, 256, 8
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    nw = (1.0 + 0.1 * rng.standard_normal((l, k))).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    woq = quantize_weight_only(jnp.asarray(w), w_bits, group_size)
+    for layer in range(l):
+        y = woq_matmul_stacked(jnp.asarray(x), woq, layer, interpret=True,
+                               norm_w=jnp.asarray(nw))
+        h = _rms_ref(x, nw[layer])
+        y_ref = h @ np.asarray(woq.dequantize())[layer]
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=3e-2,
+                                   rtol=3e-2)
+
+
+@pytest.mark.parametrize("w_bits,group_size", [(8, 0), (4, 128)])
+def test_woq_stacked_fused_swiglu_resid(w_bits, group_size):
+    """swiglu prologue + residual epilogue == silu(g)*u @ w + resid."""
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import woq_matmul_stacked
+    import scipy.special as sp
+    rng = np.random.default_rng(6)
+    l, k, n, m = 2, 256, 256, 8
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    gu = rng.standard_normal((m, 2 * k)).astype(np.float32)
+    r = rng.standard_normal((m, n)).astype(np.float32)
+    woq = quantize_weight_only(jnp.asarray(w), w_bits, group_size)
+    for layer in range(l):
+        y = woq_matmul_stacked(jnp.asarray(gu), woq, layer, interpret=True,
+                               swiglu=True, resid=jnp.asarray(r))
+        g, u = gu[:, :k], gu[:, k:]
+        h = (g * sp.expit(g)) * u
+        y_ref = r + h @ np.asarray(woq.dequantize())[layer]
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-2,
+                                   rtol=3e-2)
+
+
+def test_fp8_stacked_fused_norm_resid():
+    from trtllm_llama_tpu.ops.pallas.woq_matmul import fp8_matmul_stacked
+    from trtllm_llama_tpu.quantization.tensors import quantize_fp8_weight
+    rng = np.random.default_rng(7)
+    l, k, n, m = 2, 256, 128, 8
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    nw = (1.0 + 0.1 * rng.standard_normal((l, k))).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    r = rng.standard_normal((m, n)).astype(np.float32)
+    f8 = quantize_fp8_weight(jnp.asarray(w))
+    for layer in range(l):
+        y = fp8_matmul_stacked(jnp.asarray(x), f8, layer, interpret=True,
+                               norm_w=jnp.asarray(nw), resid=jnp.asarray(r))
+        h = _rms_ref(x, nw[layer])
+        y_ref = r + h @ np.asarray(f8.dequantize())[layer]
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-2,
+                                   rtol=3e-2)
+
+
+def test_dense_fused_composition_matches_unfused():
+    """dense_fused (kernel off => composed path) == rms_norm + dense +
+    residual, for every weight container the decode path carries."""
+    import jax
+    from trtllm_llama_tpu.ops.linear import dense, dense_fused
+    from trtllm_llama_tpu.ops.norm import rms_norm
+    rng = np.random.default_rng(8)
+    l, k, n, m = 2, 128, 128, 4
+    w = rng.standard_normal((l, k, n)).astype(np.float32) * 0.05
+    nw = (1.0 + 0.1 * rng.standard_normal((l, k))).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    woq = quantize_weight_only(jnp.asarray(w), 8, 0)
+    got = dense_fused(x, woq, layer=1, norm_w=jnp.asarray(nw), resid=r)
+    h = rms_norm(x, jnp.asarray(nw)[1])
+    want = r + dense(h, woq, layer=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

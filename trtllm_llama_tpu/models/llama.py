@@ -37,7 +37,8 @@ from ..ops.attention import (
 from ..ops.paged_attention import (
     PagedKVCache, paged_fused_decode_attention_at, paged_write_prefill_at,
 )
-from ..ops.linear import dense, dense_prequant, embedding_lookup
+from ..ops.linear import (dense, dense_fused, dense_prequant,
+                          embedding_lookup)
 from ..ops.norm import rms_norm, rms_norm_quant
 from ..quantization.tensors import SQWeight
 from ..ops.rope import apply_rope, rope_tables_for, take_rope
@@ -175,10 +176,13 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
             k = _split_heads(proj(lw["wk"]), cfg.num_kv_heads, cfg.head_dim)
             v = _split_heads(proj(lw["wv"]), cfg.num_kv_heads, cfg.head_dim)
     else:
-        h = rms_norm(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
         if fused:
-            qkv = dense(h, lw["wqkv"], layer=layer, part="col")
+            # norm fuses into the qkv matmul kernel at decode shapes
+            # (dense_fused; composes the same ops otherwise)
+            qkv = dense_fused(x, lw["wqkv"], layer=layer, part="col",
+                              norm_w=lw["attn_norm"], eps=cfg.rms_norm_eps)
         else:
+            h = rms_norm(x, idx(lw["attn_norm"]), cfg.rms_norm_eps)
             q = _split_heads(dense(h, lw["wq"], layer=layer, part="col"),
                              cfg.num_heads, cfg.head_dim)
             k = _split_heads(dense(h, lw["wk"], layer=layer, part="col"),
@@ -220,7 +224,9 @@ def _attn_block(cfg: ModelConfig, lw, layer, x, cos, sin, caches: KVCache,
         attn = prefill_attention(q, k, v, seq_lens)
     attn = attn.reshape(*attn.shape[:-2], cfg.num_heads * cfg.head_dim)
     debug_output("attention_output", attn)
-    return x + dense(attn, lw["wo"], layer=layer, part="row"), caches
+    out = dense_fused(attn, lw["wo"], layer=layer, part="row", resid=x,
+                      out_dtype=x.dtype)
+    return out, caches
 
 
 def _sq_per_token(w) -> bool:
@@ -243,16 +249,21 @@ def _mlp_block(cfg: ModelConfig, lw, layer, x):
             u = dense_prequant(h_q, h_s, lw["w_up"], cfg.jnp_dtype, layer,
                                part="col")
     else:
-        h = rms_norm(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
         # SwiGLU: silu(gate(x)) * up(x) (reference mlp.py:67-71 with silu)
         if fused:
-            gu = dense(h, lw["w_gate_up"], layer=layer, part="col")
-            g, u = gu[..., :f], gu[..., f:]
-        else:
-            g = dense(h, lw["w_gate"], layer=layer, part="col")
-            u = dense(h, lw["w_up"], layer=layer, part="col")
-    out = x + dense(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                    lw["w_down"], layer=layer, part="row")
+            gu = dense_fused(x, lw["w_gate_up"], layer=layer, part="col",
+                             norm_w=lw["mlp_norm"], eps=cfg.rms_norm_eps)
+            # silu(g)*u + residual fuse into the w_down kernel
+            out = dense_fused(gu, lw["w_down"], layer=layer, part="row",
+                              swiglu=True, resid=x, out_dtype=x.dtype)
+            debug_output("decoder_layer_output", out)
+            return out
+        h = rms_norm(x, idx(lw["mlp_norm"]), cfg.rms_norm_eps)
+        g = dense(h, lw["w_gate"], layer=layer, part="col")
+        u = dense(h, lw["w_up"], layer=layer, part="col")
+    out = dense_fused(
+        jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+        lw["w_down"], layer=layer, part="row", resid=x, out_dtype=x.dtype)
     debug_output("decoder_layer_output", out)
     return out
 

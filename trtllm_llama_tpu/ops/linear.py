@@ -303,6 +303,64 @@ def _sharded_sq(x_q, s_x, w: SQWeight, layer, part, mesh, out_dtype):
     )(x_q, s_x, w.qweight, w.scale_w, jnp.asarray(layer, jnp.int32))
 
 
+def dense_fused(x, w, layer=None, part=None, out_dtype=None, *,
+                norm_w=None, eps: float = 1e-6, swiglu: bool = False,
+                resid=None):
+    """Fused elementwise-prologue/epilogue matmul for the decode path.
+
+    Semantics (always, on every backend):
+        h   = rms_norm(x, norm_w[layer], eps)        if norm_w given
+        h   = silu(x[..., :K]) * x[..., K:]          if swiglu
+        y   = dense(h, w, layer=layer, part=part)
+        out = resid + y                              if resid given
+
+    At decode/extend shapes (rows <= fuse_decode_max_rows) on a single
+    device with a stacked WOQ/FP8 weight, the whole composition runs INSIDE
+    the Pallas matmul kernel: the norm/swiglu lands in a VMEM prologue that
+    overlaps the first weight panel's DMA, and the residual add in the
+    output-tile epilogue — deleting the XLA op dispatches (and their
+    activation HBM round-trips) between pallas calls that the r4 gap
+    analysis priced at ~30% of e2e decode (docs/kernels.md "Where the rest
+    of end-to-end int4 decode goes"). Everywhere else it composes the
+    plain ops with identical rounding order. Reference analogue: the m==1
+    whole-path tuning of weightOnlyMatrixVectorMultiplication.h:37-46 and
+    layernormQuantizationPlugin's norm->GEMM fusion.
+    """
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    fusible = (layer is not None
+               and _PALLAS.get("fuse_decode", True)
+               and rows <= int(_PALLAS.get("fuse_decode_max_rows", 16))
+               and (norm_w is not None or swiglu or resid is not None))
+    if fusible and isinstance(w, WOQWeight) and _kern("woq_matmul_stacked"):
+        out_dtype = out_dtype or x.dtype
+        y = _PALLAS["woq_matmul_stacked"](x, w, layer, norm_w=norm_w,
+                                          eps=eps, swiglu=swiglu,
+                                          resid=resid)
+        return y.astype(out_dtype)
+    if fusible and isinstance(w, FP8Weight) and _kern("fp8_matmul_stacked"):
+        out_dtype = out_dtype or x.dtype
+        y = _PALLAS["fp8_matmul_stacked"](x, w, layer, norm_w=norm_w,
+                                          eps=eps, swiglu=swiglu,
+                                          resid=resid)
+        return y.astype(out_dtype)
+    # unfused composition (identical math/rounding order)
+    from .norm import rms_norm
+    if norm_w is not None:
+        nw = (jax.lax.dynamic_index_in_dim(norm_w, layer, 0, keepdims=False)
+              if layer is not None and norm_w.ndim > 1 else norm_w)
+        h = rms_norm(x, nw, eps)
+    elif swiglu:
+        kk = x.shape[-1] // 2
+        g, u = x[..., :kk], x[..., kk:]
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u
+    else:
+        h = x
+    y = dense(h, w, out_dtype, layer, part)
+    return (resid + y).astype(y.dtype) if resid is not None else y
+
+
 def dense_prequant(x_q, s_x, w, out_dtype=None, layer=None, part=None):
     """y = dequant(x_q) @ w for an already-quantized activation.
 

@@ -91,8 +91,46 @@ def _unpack_block_planes(packed_block, compute_dtype):
     return planes
 
 
+def _fuse_prologue(x_ref, nw_ref, xs_ref, *, k, eps, swiglu,
+                   compute_dtype):
+    """Decode-fusion prologue: materialize the kernel's ACTUAL input row
+    panel into VMEM scratch once (first n-step of the grid), from the raw
+    residual-stream rows the caller handed over.
+
+    - norm mode (nw_ref given): xs = rms_norm(x, nw) — the f32 moment /
+      rsqrt / weight order matches ops.norm.rms_norm exactly, cast to the
+      compute dtype the matmul would have received.
+    - swiglu mode: x_ref is [bm, 2K] = [gate | up] columns of the fused
+      gate_up projection; xs = silu(g) * u with silu in f32 and the
+      product in compute dtype (the ops order of models/llama._mlp_block).
+
+    This replaces one XLA op dispatch between pallas calls per projection —
+    the r4 gap analysis measured ~2.2 ms/token (int4) of HBM idle across
+    those boundaries (docs/kernels.md) — and overlaps the elementwise work
+    with the first weight panel's DMA instead of serializing before it."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if swiglu:
+            g, u = xf[:, :k], xf[:, k:]
+            h = (jax.nn.silu(g).astype(compute_dtype)
+                 * u.astype(compute_dtype))
+        else:
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            h = (xf * jax.lax.rsqrt(var + eps)
+                 * nw_ref[0].astype(jnp.float32)).astype(compute_dtype)
+        xs_ref[:] = h
+
+
+def _fuse_epilogue(o_ref, r_ref, acc):
+    """Residual-add epilogue: out = resid + bf16(acc), the exact rounding
+    order of the unfused path (dense casts its f32 accumulator to the
+    activation dtype BEFORE the residual add in models/llama)."""
+    o_ref[:] = (r_ref[:] + acc.astype(r_ref.dtype)).astype(o_ref.dtype)
+
+
 def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
-                 k, compute_dtype, lead=False):
+                 k, compute_dtype, lead=False, sink=None):
     """INT4: statically unrolled loop over pack blocks; each block bit-plants
     four bf16 quarter planes on the VPU and dots them against contiguous x
     quarter columns — grouped scales are applied to the [bm, bn] dot
@@ -154,7 +192,10 @@ def _kernel_int4(x_ref, w_ref, s_ref, o_ref, *, pack_block, group_size,
         acc = jnp.sum(jnp.stack(parts) * scales[:, None, :], axis=0)
     if not group_size:
         acc = acc * S(0, 1).astype(jnp.float32)
-    o_ref[:] = acc
+    if sink is None:
+        o_ref[:] = acc
+    else:
+        sink(acc)
 
 
 def _decode_fp8_block(q, compute_dtype):
@@ -206,7 +247,7 @@ def _decode_fp8_planes(packed_block, compute_dtype):
 
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
-                 compute_dtype, lead=False, fp8=False, fp8_fb=0):
+                 compute_dtype, lead=False, fp8=False, fp8_fb=0, sink=None):
     W = ((lambda a, b: w_ref[0, a:b, :]) if lead
          else (lambda a, b: w_ref[a:b, :]))
     S = ((lambda a, b: s_ref[0, a:b, :]) if lead
@@ -264,7 +305,10 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, *, group_size, ck, n_chunks,
         acc = part if acc is None else acc + part
     if not group_size:
         acc = acc * S(0, 1).astype(jnp.float32)
-    o_ref[:] = acc
+    if sink is None:
+        o_ref[:] = acc
+    else:
+        sink(acc)
 
 
 def _default_compute_dtype():
@@ -385,51 +429,85 @@ def woq_matmul(x, w: WOQWeight, interpret=False):
 # copy of the whole layer weight per scan step).
 # ---------------------------------------------------------------------------
 
-def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, o_ref, *, w_bits,
+def _kernel_stacked(idx_ref, x_ref, w_ref, s_ref, *rest, w_bits,
                     pack_block, group_size, k, ck, n_chunks, compute_dtype,
-                    fp8=False):
+                    fp8=False, fuse_norm=False, fuse_swiglu=False,
+                    fuse_resid=False, eps=1e-6):
     del idx_ref  # consumed by the index_maps
-    if w_bits == 4:
-        _kernel_int4(x_ref, w_ref, s_ref, o_ref,
-                     pack_block=pack_block, group_size=group_size, k=k,
-                     compute_dtype=compute_dtype, lead=True)
+    refs = list(rest)
+    nw_ref = refs.pop(0) if fuse_norm else None
+    r_ref = refs.pop(0) if fuse_resid else None
+    o_ref = refs.pop(0)
+    if fuse_norm or fuse_swiglu:
+        xs_ref = refs.pop(0)            # VMEM scratch, persists across grid
+        _fuse_prologue(x_ref, nw_ref, xs_ref, k=k, eps=eps,
+                       swiglu=fuse_swiglu, compute_dtype=compute_dtype)
+        x_src = xs_ref
     else:
-        _kernel_int8(x_ref, w_ref, s_ref, o_ref,
+        x_src = x_ref
+    sink = ((lambda acc: _fuse_epilogue(o_ref, r_ref, acc))
+            if fuse_resid else None)
+    if w_bits == 4:
+        _kernel_int4(x_src, w_ref, s_ref, o_ref,
+                     pack_block=pack_block, group_size=group_size, k=k,
+                     compute_dtype=compute_dtype, lead=True, sink=sink)
+    else:
+        _kernel_int8(x_src, w_ref, s_ref, o_ref,
                      group_size=group_size, ck=ck, n_chunks=n_chunks,
                      compute_dtype=compute_dtype, lead=True, fp8=fp8,
-                     fp8_fb=(pack_block if fp8 else 0))
+                     fp8_fb=(pack_block if fp8 else 0), sink=sink)
 
 
 def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
                           compute_dtype=None, interpret=False,
-                          n_window=None, fp8=False):
+                          n_window=None, fp8=False, norm_w=None,
+                          eps=1e-6, swiglu=False, resid=None):
     """x: [M, K]; w.qweight: [L, K(/2), N]; layer: int32 scalar -> [M, N].
 
     n_window=(start, length): compute only output columns
     [start, start+length) — the full stacked weight stays in place (the
     window is a static offset folded into the BlockSpec index maps, no
     weight slice/copy). Used by the sharded row-parallel path to interleave
-    column-chunk matmuls with their psums (collective/compute overlap)."""
+    column-chunk matmuls with their psums (collective/compute overlap).
+
+    Decode fusion (r5 — closing the inter-kernel HBM-idle gap,
+    docs/kernels.md):
+      norm_w ([L, K] stacked): RMS-norm the rows in a VMEM prologue
+        (computed once per m-tile, reused across n-steps via scratch);
+      swiglu: x is [M, 2K] = [gate | up]; prologue computes silu(g)*u;
+      resid ([M, N]): residual-add epilogue with the unfused rounding
+        order (bf16 cast before the add).
+    Mutually exclusive with n_window; norm_w and swiglu are mutually
+    exclusive. The elementwise work rides the weight pipeline instead of
+    costing an XLA op dispatch (and its activation HBM round-trip) between
+    pallas calls. Reference analogue: the m==1 whole-path decode tuning of
+    weightOnlyMatrixVectorMultiplication.h:37-46."""
     compute_dtype = compute_dtype or _default_compute_dtype()
+    fuse_pro = norm_w is not None or swiglu
+    assert not (norm_w is not None and swiglu)
+    assert n_window is None or (not fuse_pro and resid is None)
     m, k_x = x.shape
     l = w.qweight.shape[0]
     k = w.k_dim
     n_full = w.qweight.shape[-1]
     n_start, n = (0, n_full) if n_window is None else n_window
     assert n_start + n <= n_full and n_start >= 0, (n_window, n_full)
-    assert k_x == k, (k_x, k)
+    assert k_x == (2 * k if swiglu else k), (k_x, k, swiglu)
     w_bytes_per_el = 0.5 if w.w_bits == 4 else 1
+    kx = k_x                       # x panel width (2k when swiglu)
 
     pad_m = (-m) % 8
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
+        if resid is not None:
+            resid = jnp.pad(resid, ((0, pad_m), (0, 0)))
     m_p = m + pad_m
 
     if bm is None:
         # x panels are double-buffered across m tiles: keep 2*bm*K*2B under
         # ~4 MB (large-K prefill shapes would otherwise blow VMEM)
         bm = next((c for c in (256, 128, 64, 32, 16, 8)
-                   if m_p % c == 0 and 2 * c * k * 2 <= 4 * 1024 * 1024),
+                   if m_p % c == 0 and 2 * c * kx * 2 <= 4 * 1024 * 1024),
                   min(8, m_p))
     if m_p % bm:
         bm = _pick_tile(m_p, (128, 64, 32, 16, 8))
@@ -457,7 +535,13 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
     assert n_start % bn == 0, (n_start, bn)
     off = n_start // bn           # static column-tile offset into the weight
     # grid-order choice (see _n_outer): grid ids (a, b) -> (m_tile, n_tile)
-    grid, mi, ni = _grid_order(n_m, n_n, m_p, k, n, w_bytes_per_el)
+    if fuse_pro:
+        # the prologue keys off program_id(1) == 0 (first n-step of each
+        # m-tile), which requires the m-outer order; decode/extend shapes
+        # (small m) resolve there anyway
+        grid, mi, ni = (n_m, n_n), (lambda a, b: a), (lambda a, b: b)
+    else:
+        grid, mi, ni = _grid_order(n_m, n_n, m_p, k, n, w_bytes_per_el)
     if gs:
         scale = w.scale                                 # [L, K//gs, N]
         s_spec = pl.BlockSpec((1, k // gs, bn),
@@ -473,22 +557,43 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
     kernel = functools.partial(
         _kernel_stacked, w_bits=w.w_bits, pack_block=w.pack_block,
         group_size=gs, k=k, ck=ck, n_chunks=n_chunks,
-        compute_dtype=compute_dtype, fp8=fp8)
+        compute_dtype=compute_dtype, fp8=fp8,
+        fuse_norm=norm_w is not None, fuse_swiglu=swiglu,
+        fuse_resid=resid is not None, eps=eps)
+
+    in_specs = [
+        pl.BlockSpec((bm, kx), lambda a, b, s: (mi(a, b), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k // pack_div, bn),
+                     lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
+                     memory_space=pltpu.VMEM),
+        s_spec,
+    ]
+    operands = [jnp.asarray(layer, jnp.int32).reshape(1), x, w.qweight,
+                scale]
+    if norm_w is not None:
+        # [L, 1, K] + (1, 1, k) blocks: the leading-1 middle dim satisfies
+        # Mosaic's last-two-dims blocking rule (same shape trick as the
+        # per-channel scale operand)
+        in_specs.append(pl.BlockSpec((1, 1, k),
+                                     lambda a, b, s: (_sel(s), 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(norm_w.reshape(l, 1, norm_w.shape[-1]))
+    if resid is not None:
+        in_specs.append(pl.BlockSpec((bm, bn),
+                                     lambda a, b, s: (mi(a, b), ni(a, b)),
+                                     memory_space=pltpu.VMEM))
+        operands.append(resid)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda a, b, s: (mi(a, b), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k // pack_div, bn),
-                         lambda a, b, s: (_sel(s), 0, ni(a, b) + off),
-                         memory_space=pltpu.VMEM),
-            s_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn),
                                lambda a, b, s: (mi(a, b), ni(a, b)),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((bm, k), compute_dtype)]
+                        if fuse_pro else []),
     )
 
     out = pl.pallas_call(
@@ -496,24 +601,29 @@ def woq_matmul_stacked_2d(x, w: WOQWeight, layer, *, bm=None, bn=None,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=(
+                ("parallel", "arbitrary") if fuse_pro
+                else ("parallel", "parallel"))),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_p * n * k,
             bytes_accessed=int(k * n * w_bytes_per_el
-                               + m_p * k * 2 + m_p * n * 4),
+                               + m_p * kx * 2 + m_p * n * 4),
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w.qweight, scale)
+    )(*operands)
     return out[:m] if pad_m else out
 
 
 def woq_matmul_stacked(x, w: WOQWeight, layer, interpret=False,
-                       n_window=None):
+                       n_window=None, norm_w=None, eps=1e-6, swiglu=False,
+                       resid=None):
     """Batched entry: x [..., K], stacked w [L, ...] -> [..., N] f32."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    r2 = None if resid is None else resid.reshape(-1, resid.shape[-1])
     out = woq_matmul_stacked_2d(x2, w, layer, interpret=interpret,
-                                n_window=n_window)
+                                n_window=n_window, norm_w=norm_w, eps=eps,
+                                swiglu=swiglu, resid=r2)
     return out.reshape(*lead, out.shape[-1])
 
 
@@ -541,10 +651,13 @@ def fp8_matmul(x, w, interpret=False):
     return out.reshape(*lead, out.shape[-1])
 
 
-def fp8_matmul_stacked(x, w, layer, interpret=False, n_window=None):
+def fp8_matmul_stacked(x, w, layer, interpret=False, n_window=None,
+                       norm_w=None, eps=1e-6, swiglu=False, resid=None):
     """Batched entry: x [..., K], stacked FP8Weight [L, K, N] -> [..., N]."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    r2 = None if resid is None else resid.reshape(-1, resid.shape[-1])
     out = woq_matmul_stacked_2d(x2, _fp8_shim(w), layer, interpret=interpret,
-                                n_window=n_window, fp8=True)
+                                n_window=n_window, fp8=True, norm_w=norm_w,
+                                eps=eps, swiglu=swiglu, resid=r2)
     return out.reshape(*lead, out.shape[-1])

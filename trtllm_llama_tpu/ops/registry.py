@@ -64,6 +64,17 @@ KERNELS = {
     # psum is latency-bound; chunking multiplies the latency).
     "overlap_chunks": 4,
     "overlap_min_rows": 64,
+    # Decode fusion (ops/linear.py::dense_fused): fold the rms_norm
+    # prologue / swiglu prologue / residual epilogue INTO the stacked
+    # WOQ/FP8 matmul kernels at decode/extend shapes (rows <=
+    # fuse_decode_max_rows), deleting the XLA op boundaries between pallas
+    # calls where the weight stream has no outstanding prefetch (r4 gap
+    # analysis: ~2.2 ms/token int4, ~3.7 ms int8 of inter-kernel HBM idle,
+    # docs/kernels.md). Larger rows keep the unfused composition: the
+    # prologue recompute rides the m-outer grid but prefill is
+    # compute-bound and XLA's own fusion already covers it.
+    "fuse_decode": True,
+    "fuse_decode_max_rows": 16,
     # Active mesh for sharded execution. When set, only the shard_map-wrapped
     # dense paths (ops/linear.py) run Pallas kernels — GSPMD cannot partition
     # a bare pallas_call, so every other kernel falls back to XLA (which GSPMD
