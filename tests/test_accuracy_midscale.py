@@ -70,8 +70,12 @@ pytestmark = [
 GATES_STRUCTURED = [
     ("s-int8-wo", QuantMode.use_weight_only(False), 0,
      1.06, 0.03, 0.70),
+    # r5 (VERDICT item 8): tightened from (22.0, 2.0) — the r4 bounds were
+    # ~2x measured, so a 1.9x quality regression would still have passed.
+    # Re-measured r5 (CPU, bit-identical to r4: ppl 11.2601 dkl 1.2811
+    # top1 0.1458); bounds now 1.5x measured, so a 1.5x regression trips.
     ("s-int4-g128", QuantMode.use_weight_only(True, per_group=True), 128,
-     22.0, 2.0, 0.05),
+     16.9, 1.92, 0.09),
     ("s-fp8", QuantMode.FP8_QDQ, 0,
      1.60, 0.26, 0.45),
 ]

