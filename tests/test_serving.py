@@ -637,11 +637,41 @@ def test_pipelined_eos_and_stop_words(tiny_setup):
     assert run(True) == run(False)
 
 
-def test_pipelined_rejects_paged_and_mixed(tiny_setup):
+def test_pipelined_rejects_mixed(tiny_setup):
     cfg, params, ecfg = tiny_setup
-    for kw in (dict(paged=True), dict(mixed_step=True)):
-        with pytest.raises(ValueError, match="pipelined"):
-            ServingEngine(cfg, params, ecfg, pipelined=True, **kw)
+    with pytest.raises(ValueError, match="pipelined"):
+        ServingEngine(cfg, params, ecfg, pipelined=True, mixed_step=True)
+
+
+def test_pipelined_paged_matches_normal(tiny_setup):
+    """r5: pipelined composes with paged (block tables rebuilt from the
+    host mirror — no device read synchronizing on the in-flight chunk).
+    Outputs must match the plain paged engine exactly under slot churn and
+    mid-flight arrivals (block free/reuse while a chunk is in flight)."""
+    cfg, params, ecfg = tiny_setup
+    scfg = SamplingConfig(end_id=-1)
+    rng = np.random.default_rng(41)
+    prompts = [rng.integers(3, 250, (n,)).tolist()
+               for n in (5, 9, 3, 7, 11, 4)]
+    budgets = [6, 4, 8, 5, 3, 7]
+
+    def run(pipelined):
+        eng = ServingEngine(cfg, params, ecfg, sampling=scfg,
+                            decode_chunk=3, paged=True, block_size=8,
+                            pipelined=pipelined)
+        rids = [eng.submit(p, b) for p, b in zip(prompts[:3], budgets[:3])]
+        done = {}
+        for fr in eng.step():
+            done[fr.request_id] = fr
+        rids += [eng.submit(p, b) for p, b in zip(prompts[3:], budgets[3:])]
+        done.update(eng.run_to_completion())
+        return [done[r] for r in rids]
+
+    ref = run(False)
+    got = run(True)
+    for a, b in zip(got, ref):
+        assert a.output_ids == b.output_ids, (a, b)
+        assert a.finished_reason == b.finished_reason
 
 
 def test_latency_and_phase_stats(tiny_setup):

@@ -211,14 +211,18 @@ class ServingEngine:
                              "non-chunked-prefill configuration")
         # pipelined decode: dispatch chunk N before reading chunk N-1, so
         # the ~27 ms tunnel readback + host bookkeeping + admission
-        # prefills all overlap chunk N's compute (see step()). Dense cache
-        # only (paged pre-allocates blocks from a host table sync);
-        # mutually exclusive with mixed_step (which fuses the phases
-        # instead) and multi-host (lockstep op sync per step).
+        # prefills all overlap chunk N's compute (see step()). Composes
+        # with paged since r5: block tables are rebuilt from the host
+        # mirror (no device read, so nothing synchronizes on the in-flight
+        # chunk; stale writes from slots frozen in the unprocessed chunk
+        # land in blocks that stream-order guarantees are overwritten by
+        # any later prefill). Mutually exclusive with mixed_step (which
+        # fuses the phases instead) and multi-host (lockstep op sync per
+        # step).
         self.pipelined = bool(pipelined)
-        if self.pipelined and (paged or mixed_step or self.multihost):
-            raise ValueError("pipelined serving needs the dense,"
-                             " non-mixed, single-host configuration")
+        if self.pipelined and (mixed_step or self.multihost):
+            raise ValueError("pipelined serving needs the non-mixed, "
+                             "single-host configuration")
         self._partial: Dict[int, int] = {}    # request_id -> next chunk start
         # per-request model logprobs of emitted tokens (engine-side so the
         # host scheduler - and its C++ twin - stay token-only)
@@ -254,6 +258,16 @@ class ServingEngine:
             self.caches = self.caches._replace(
                 tables=jnp.full((self.n_rows, self.max_blocks),
                                 self.trash_block, jnp.int32))
+            # Host MIRROR of the block tables. The device never writes
+            # tables (allocation is host-side in kv_mgr; kernels only read
+            # them), so the decode dispatch can rebuild rows from this
+            # mirror and upload — r4 instead did a device->host table READ
+            # each chunk (measured: paged dispatch 38.2 ms/step vs dense
+            # 0.9, scripts/measure_r4.jsonl), which both taxed every step
+            # by a tunnel round and forced paged serving to stay
+            # un-pipelined (the read synchronizes on the in-flight chunk).
+            self._tables_np = np.full((self.n_rows, self.max_blocks),
+                                      self.trash_block, np.int32)
         else:
             self.scheduler = Scheduler(self.max_slots, engine_cfg.max_seq_len)
             # cache_headroom: extra positions past max_seq_len (speculative
@@ -1038,6 +1052,7 @@ class ServingEngine:
         self.slot_active = self.slot_active.at[slot].set(False)
         if self.paged:
             self.kv_mgr.remove_sequence(slot)
+            self._tables_np[slot] = self.trash_block
             self.caches = self.caches._replace(
                 tables=self.caches.tables.at[slot].set(self.trash_block))
 
@@ -1201,6 +1216,7 @@ class ServingEngine:
             for i, req in enumerate(reqs):
                 self.kv_mgr.add_sequence(req.slot, len(req.input_ids))
                 table_rows[i] = self._host_table_row(req.slot)
+                self._tables_np[req.slot] = table_rows[i]
                 self.caches = self.caches._replace(
                     tables=self.caches.tables.at[req.slot].set(table_rows[i]))
             fn = self._get(("pprefill", bucket, nb),
@@ -1375,14 +1391,15 @@ class ServingEngine:
         slot_of = {r.slot: r for r in decoding}
         if self.paged:
             # pre-allocate blocks for this chunk's writes, then refresh the
-            # device block tables
-            tables = np.array(self._read(self.caches.tables))  # writable copy
+            # device block tables FROM THE HOST MIRROR — no device read,
+            # no sync on the in-flight chunk (pipelined-compatible)
             for slot, req in slot_of.items():
                 n_new = min(chunk, req.max_new_tokens - len(req.output_ids))
                 for _ in range(n_new):
                     self.kv_mgr.append_token(slot)
-                tables[slot] = self._host_table_row(slot)
-            self.caches = self.caches._replace(tables=self._dev(tables))
+                self._tables_np[slot] = self._host_table_row(slot)
+            self.caches = self.caches._replace(
+                tables=self._dev(self._tables_np))
         fn = self._get(("decode", chunk), self._decode_fn, chunk)
         slot_params = self.slot_params if self.per_request else 0
         counts = self.slot_counts if self.per_request else 0
