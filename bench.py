@@ -321,16 +321,20 @@ def serving_bench(config_name: str):
         dt = time.perf_counter() - t0
         total_tokens = sum(len(d.output_ids) for d in done.values())
         samples.append(round(total_tokens / dt, 2))
-        stats.append({"latency": eng.latency_stats(),
-                      "phases_ms_per_step": eng.phase_stats()}
-                     if hasattr(eng, "latency_stats") else {})
+        st = ({"latency": eng.latency_stats(),
+               "phases_ms_per_step": eng.phase_stats()}
+              if hasattr(eng, "latency_stats") else {})
+        if getattr(eng, "spec_iters", 0):
+            st["spec"] = {"iters": eng.spec_iters,
+                          "committed": eng.spec_committed}
+        stats.append(st)
+    # value + stats + spec counters all come from the SAME (median) sweep
+    # so the record is internally consistent (even n picks upper-middle —
+    # a real measurement, unlike np.median's midpoint average)
     med_i = int(np.argsort(samples)[len(samples) // 2])
     extra = dict(stats[med_i])
     extra["n"] = repeats
     extra["samples"] = samples
-    if getattr(eng, "spec_iters", 0):
-        extra["spec"] = {"iters": eng.spec_iters,
-                         "committed": eng.spec_committed}
     _emit({
         "metric": f"serving throughput (LLaMA-7B {config_name}, "
                   f"{slots} slots, {n_req} reqs, in{in_len} out{out_len}"
@@ -345,7 +349,7 @@ def serving_bench(config_name: str):
                   + (", int8kv" if spec_draft and spec_kv else "")
                   + (", repetitive" if repetitive else "")
                   + (", copy" if copy_model else "") + ")",
-        "value": float(np.median(samples)),
+        "value": samples[med_i],
         "unit": "tokens/s",
         "vs_baseline": None,   # reference never shipped in-flight batching
         **extra,
@@ -477,7 +481,8 @@ def latency_bench(config_name: str):
             one_run()
         dt = (time.perf_counter() - t0) / n_runs
         samples.append(round(batch * out_len / dt, 2))
-    toks_per_s = float(np.median(samples))
+    # a real measured sample (odd n: the median; even n: upper-middle)
+    toks_per_s = sorted(samples)[len(samples) // 2]
 
     # long-input shapes compare against the reference's Task-A (summarize)
     # rates, which include prefill the same way this measurement does.

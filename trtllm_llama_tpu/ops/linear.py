@@ -326,6 +326,9 @@ def dense_fused(x, w, layer=None, part=None, out_dtype=None, *,
     whole-path tuning of weightOnlyMatrixVectorMultiplication.h:37-46 and
     layernormQuantizationPlugin's norm->GEMM fusion.
     """
+    if norm_w is not None and swiglu:
+        raise ValueError("dense_fused: norm_w and swiglu are mutually "
+                         "exclusive (one input-prologue per matmul)")
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
