@@ -14,3 +14,13 @@ run BENCH_MODE=serving BENCH_CONFIG=int8 BENCH_SLOTS=16 BENCH_REQUESTS=48 BENCH_
 # paged at 32 slots (paged is the config that fits 32 dense-free slots)
 run BENCH_MODE=serving BENCH_CONFIG=int8 BENCH_SLOTS=32 BENCH_REQUESTS=96 BENCH_PAGED=1
 run BENCH_MODE=serving BENCH_CONFIG=int8 BENCH_SLOTS=32 BENCH_REQUESTS=96 BENCH_PAGED=1 BENCH_PIPELINED=1
+# decode_chunk frontier at the best point (chunk32 beat chunk16 790->829)
+run BENCH_MODE=serving BENCH_CONFIG=int8kv BENCH_SLOTS=32 BENCH_REQUESTS=96 BENCH_CHUNK=48
+run BENCH_MODE=serving BENCH_CONFIG=int8kv BENCH_SLOTS=32 BENCH_REQUESTS=96 BENCH_CHUNK=64
+run BENCH_MODE=serving BENCH_CONFIG=int8kv BENCH_SLOTS=32 BENCH_REQUESTS=192 BENCH_CHUNK=32
+# decode-attention mode at the serving batch shape: the r3 bs1 in-range
+# finding (xla wins below S=4096) may invert at 33 rows with int8 KV
+# (the xla path materializes dequantized K/V per layer; split timers r5
+# attribute 0.8 ms/row of marginal decode cost)
+run BENCH_MODE=serving BENCH_CONFIG=int8kv BENCH_SLOTS=32 BENCH_REQUESTS=96 BENCH_CHUNK=32 BENCH_DECODE_ATTN=split
+run BENCH_MODE=serving BENCH_CONFIG=int8kv BENCH_SLOTS=32 BENCH_REQUESTS=96 BENCH_CHUNK=32 BENCH_DECODE_ATTN=fused
