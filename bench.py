@@ -181,6 +181,7 @@ def serving_bench(config_name: str):
                      | QuantMode.INT8_KV_CACHE),
           "int4kv": (QuantMode.use_weight_only(True, per_group=True)
                      | QuantMode.INT8_KV_CACHE),
+          "fp8": QuantMode.FP8_QDQ,
           "fp16": QuantMode(0)}[config_name]
     # BENCH_SPEC_KV=1 (speculative only): int8-KV caches for BOTH models.
     # Two 7B cache sets + the XLA loop-carry copies of each (the
@@ -231,6 +232,7 @@ def serving_bench(config_name: str):
             cfg, params, ecfg, gamma=int(os.environ.get("BENCH_GAMMA", "4")),
             ngram=int(os.environ.get("BENCH_NGRAM", "3")),
             sampling=SamplingConfig(end_id=-1),
+            kv_scales=kv_scales_plain,
             decode_chunk=int(os.environ.get("BENCH_CHUNK", "16")))
     elif spec_draft:
         # the spec engine is dense/non-packed/non-chunked: drop the flags
